@@ -18,14 +18,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.accel import GridAccel, ShellAccel
 from ..models.cells import Cells, sample_brute_force
+from ..models.locator import Locator, sample_locator
 from ..models.transfunc import Transfunc, post_classify
 from ..utils import color as colorlib
 from ..utils.lcg import lcg_init, lcg_next
 from ..utils.vecmath import box_test
+from .traverse import trace_dda3, trace_sdda
 from .woodcock import woodcock_track
 
-SAMPLER_BRUTE = "brute"
+
+def make_sample_fn(cells: Cells, locator: Locator | None, sampler: str):
+    """Volume point-sampler dispatch (ref: deviceCode.cu:58-125).
+
+    'brute'   — linear scan (reference's no-RT fallback)
+    'locator' — grid-of-lists query (replaces OptiX/cuBQL BVH queries)
+    """
+    if sampler == "brute":
+        return lambda pos: sample_brute_force(cells, pos)
+    if sampler == "locator":
+        if locator is None:
+            raise ValueError("sampler='locator' needs a Locator")
+        return lambda pos: sample_locator(cells, locator, pos)
+    raise ValueError(f"unknown sampler {sampler!r}")
 
 
 class LaunchParams(NamedTuple):
@@ -74,7 +90,8 @@ def generate_ray(lp: LaunchParams, x, y, rng):
     return lp.cam_org, d, rng
 
 
-def _pixel_ae(cells: Cells, tf: Transfunc, lp: LaunchParams, x, y, w, h):
+def _pixel_ae(sample_fn, cells: Cells, tf: Transfunc, lp: LaunchParams,
+              x, y, w, h):
     """One pixel of woodcockTrackingAE (ref: deviceCode.cu:239-275).
 
     Returns (wrote: bool, color_alpha: (4,) f32) — `wrote` is False when the
@@ -88,9 +105,10 @@ def _pixel_ae(cells: Cells, tf: Transfunc, lp: LaunchParams, x, y, w, h):
                                jnp.float32(1e10), lp.bounds_lo, lp.bounds_hi)
 
     res = woodcock_track(
-        lambda pos: sample_brute_force(cells, pos),
+        sample_fn,
         lambda value: post_classify(tf, value),
-        org, direction, t0, t1, jnp.float32(1.0), rng, lp.unit_distance)
+        org, direction, t0, t1, jnp.float32(1.0), rng, lp.unit_distance,
+        active=hit_box)
 
     rgb = res.albedo * lp.ambient_color * lp.ambient_radiance
     alpha = jnp.where(res.extinction > 0.0, 1.0, 0.0).astype(jnp.float32)
@@ -110,19 +128,71 @@ def _finalize(wrote, color_alpha, accum, fb, accum_id):
     return accum_out, fb_out
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"),
+@functools.partial(jax.jit, static_argnames=("width", "height", "sampler"),
                    donate_argnames=("accum", "fb"))
 def render_frame_ae(cells: Cells, tf: Transfunc, lp: LaunchParams,
-                    accum, fb, *, width: int, height: int):
-    """One progressive sample over the whole frame, brute-force sampler,
-    global majorant = 1 (reference raygen 'woodcockTrackingAE').
+                    accum, fb, *, width: int, height: int,
+                    sampler: str = "brute", locator: Locator | None = None):
+    """One progressive sample over the whole frame, global majorant = 1
+    (reference raygen 'woodcockTrackingAE').
 
     accum: (H*W, 4) f32; fb: (H*W,) uint32; row 0 = bottom of image.
     Returns updated (accum, fb).
     """
+    sample_fn = make_sample_fn(cells, locator, sampler)
     ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
     wrote, color_alpha = jax.vmap(
-        lambda x, y: _pixel_ae(cells, tf, lp, x, y, width, height))(xs, ys)
+        lambda x, y: _pixel_ae(sample_fn, cells, tf, lp, x, y, width, height))(xs, ys)
+    return _finalize(wrote, color_alpha, accum, fb, lp.accum_id)
+
+
+def _pixel_accel(sample_fn, cells: Cells, tf: Transfunc, accel,
+                 lp: LaunchParams, x, y, w, h, accel_mode: str):
+    """One pixel of woodcockTrackingWithAccel (ref: deviceCode.cu:281-341)."""
+    seed0 = (lp.accum_id.astype(jnp.uint32) * jnp.uint32(w * h)
+             + x.astype(jnp.uint32))
+    rng = lcg_init(seed0, y.astype(jnp.uint32))
+    org, direction, rng = generate_ray(lp, x, y, rng)
+    hit_box, t0, t1 = box_test(org, direction, jnp.float32(0.0),
+                               jnp.float32(1e10), lp.bounds_lo, lp.bounds_hi)
+
+    classify_fn = lambda value: post_classify(tf, value)
+
+    if accel_mode == "sphere":
+        res = trace_sdda(sample_fn, classify_fn, accel.max_opacities,
+                         accel.dims, accel.sph_lo, accel.sph_hi,
+                         org, direction, t0, t1, rng, lp.unit_distance,
+                         active=hit_box)
+    elif accel_mode == "grid":
+        res = trace_dda3(sample_fn, classify_fn, accel.max_opacities,
+                         accel.dims, accel.world_lo, accel.world_hi,
+                         org, direction, t0, t1, rng, lp.unit_distance,
+                         active=hit_box)
+    else:
+        raise ValueError(f"unknown accel_mode {accel_mode!r}")
+
+    rgb = res.color * lp.ambient_color * lp.ambient_radiance
+    return hit_box, jnp.concatenate([rgb, res.alpha[None]])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "accel_mode", "sampler"),
+                   donate_argnames=("accum", "fb"))
+def render_frame_accel(cells: Cells, tf: Transfunc, accel, lp: LaunchParams,
+                       accum, fb, *, width: int, height: int,
+                       accel_mode: str = "sphere", sampler: str = "brute",
+                       locator: Locator | None = None):
+    """One progressive sample with per-cell majorants driven by a traversal
+    (reference raygen 'woodcockTrackingWithAccel').
+
+    accel: ShellAccel (accel_mode='sphere') or GridAccel (accel_mode='grid')
+    with max_opacities up to date for the current transfer function.
+    """
+    sample_fn = make_sample_fn(cells, locator, sampler)
+    ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
+    wrote, color_alpha = jax.vmap(
+        lambda x, y: _pixel_accel(sample_fn, cells, tf, accel, lp, x, y,
+                                  width, height, accel_mode))(xs, ys)
     return _finalize(wrote, color_alpha, accum, fb, lp.accum_id)
 
 

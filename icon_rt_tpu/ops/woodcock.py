@@ -30,7 +30,7 @@ class WoodcockResult(NamedTuple):
 
 def woodcock_track(sample_fn: Callable, classify_fn: Callable,
                    org, direction, t0, t1, majorant, rng,
-                   unit_distance) -> WoodcockResult:
+                   unit_distance, active=True) -> WoodcockResult:
     """Track one ray segment [t0, t1] against a constant majorant.
 
     sample_fn(pos) -> (hit: bool, value: f32); classify_fn(value) -> (4,) RGBA.
@@ -60,6 +60,8 @@ def woodcock_track(sample_fn: Callable, classify_fn: Callable,
 
     init = (jnp.asarray(t0, jnp.float32), rng,
             jnp.zeros(3, jnp.float32), jnp.float32(0.0),
-            majorant <= 0.0)  # ref: deviceCode.cu:161-162 breaks immediately
+            # ref: deviceCode.cu:161-162 breaks immediately on majorant<=0;
+            # inactive lanes (missed rays) skip the loop entirely
+            (majorant <= 0.0) | ~jnp.asarray(active, jnp.bool_))
     t, rng_out, albedo, ext, _ = jax.lax.while_loop(cond, body, init)
     return WoodcockResult(jnp.minimum(t, t1), albedo, ext, rng_out)
