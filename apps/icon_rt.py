@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""icon_rt — the ICON direct-volume renderer application.
+
+Functional port of the reference app (ref: icon_rt/hostCode.cu:703-968):
+  positional <file>.ic, --num-cells N, --lat-range lo:hi, --lon-range lo:hi,
+  -mode M, plus the common pipeline flags (--bgcolor --sample-limit --xf
+  -win/--win/--size -fovy --camera).
+
+Extensions over the reference CLI:
+  --synthetic SUBDIV[:LAYERS]  render a generated icosphere field (no .ic)
+  --raygen {fast,accel,ae}     fast = TPU-native radial-band raygen (ours);
+                               accel/ae = reference-parity raygens
+  --accel-mode {sphere,grid}   parity accel selection (reference UI combo)
+  --sampler {locator,brute,wedge}  point-sampler (reference 'Sampler mode')
+  -o PATH                      output PNG name (default icon_rt.png)
+
+Batch behavior matches the reference: renders --sample-limit progressive
+frames, writes the PNG, prints FPS.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def parse_app_args(argv):
+    cfg = {
+        "filepath": None, "num_cells": -1,
+        "lat_range": None, "lon_range": None,
+        "mode": 1,  # TRIANGLE_MODE default (ref: hostCode.cu:74)
+        "synthetic": None, "raygen": "fast", "accel_mode": "sphere",
+        "sampler": "locator", "out": "icon_rt", "bands": 64,
+    }
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("-") and a.endswith(".ic"):
+            cfg["filepath"] = a
+        elif a == "--num-cells":
+            cfg["num_cells"] = int(argv[i + 1]); i += 1
+        elif a == "--lat-range":
+            lo, hi = argv[i + 1].split(":"); cfg["lat_range"] = (float(lo), float(hi)); i += 1
+        elif a == "--lon-range":
+            lo, hi = argv[i + 1].split(":"); cfg["lon_range"] = (float(lo), float(hi)); i += 1
+        elif a == "-mode":
+            cfg["mode"] = int(argv[i + 1]); i += 1
+        elif a == "--synthetic":
+            s = argv[i + 1].split(":")
+            cfg["synthetic"] = (int(s[0]), int(s[1]) if len(s) > 1 else 8); i += 1
+        elif a == "--raygen":
+            cfg["raygen"] = argv[i + 1]; i += 1
+        elif a == "--accel-mode":
+            cfg["accel_mode"] = argv[i + 1]; i += 1
+        elif a == "--sampler":
+            cfg["sampler"] = argv[i + 1]; i += 1
+        elif a == "-o":
+            cfg["out"] = argv[i + 1].removesuffix(".png"); i += 1
+        i += 1
+    return cfg
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = parse_app_args(argv)
+
+    from icon_rt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+    from icon_rt_tpu.data import icfile, synthetic
+    from icon_rt_tpu.models.accel import (build_grid_accel, build_shell_accel,
+                                          update_majorants)
+    from icon_rt_tpu.models.cells import build_cells, compute_stats
+    from icon_rt_tpu.models.locator import build_locator
+    from icon_rt_tpu.models.shells import build_radial_bands, update_band_majorants
+    from icon_rt_tpu.models.transfunc import DEFAULT_COLORS
+    from icon_rt_tpu.models.wedges import build_wedges
+    from icon_rt_tpu.ops.camera import Camera
+    from icon_rt_tpu.ops.fast import pack_cells, render_frame_fast
+    from icon_rt_tpu.ops.render import (alloc_frame, make_launch_params,
+                                        render_frame_accel, render_frame_ae)
+    from icon_rt_tpu.pipeline.pipeline import Pipeline, TransfuncState
+
+    # -- dataset (ref: hostCode.cu:717-808) ---------------------------------
+    if cfg["synthetic"] is not None:
+        subdiv, layers = cfg["synthetic"]
+        ds = synthetic.icosphere(subdivisions=subdiv, num_layers=layers)
+    else:
+        if not cfg["filepath"]:
+            print("Usage: icon_rt <file.ic> | --synthetic SUBDIV[:LAYERS]",
+                  file=sys.stderr)
+            return 1
+        ds = icfile.read_ic(cfg["filepath"], cfg["num_cells"]
+                            if cfg["num_cells"] >= 0 else None)
+        ds = ds.crop(cfg["lat_range"], cfg["lon_range"])
+    print(f"cells: {ds.num_cells}")
+    stats = compute_stats(ds)
+
+    cells = build_cells(ds)
+    locator = build_locator(ds)
+    wedges = build_wedges(ds) if cfg["sampler"] == "wedge" else None
+
+    pl = Pipeline(argv, name=cfg["out"])
+    pl.set_frame(512, 512)
+
+    cam = Camera()
+    cam.set_aspect(pl.width / pl.height)
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    pl.set_camera(cam)
+
+    if not pl.transfunc_valid():
+        vr = stats.data_range
+        if not (vr[0] < vr[1]):
+            vr = np.array([0.0, 1.0], np.float32)
+        pl.set_transfunc(TransfuncState(DEFAULT_COLORS, tuple(vr)))
+
+    # unit distance slider scaled to shell magnitude (ref: hostCode.cu:838-841)
+    magnitude = np.floor(np.log10(stats.spherical_bounds_lo[0]))
+    scale = 10.0 ** (magnitude - 3)
+    state = {"unit_distance": 1.0 * scale, "accel_active": True,
+             "mode": cfg["mode"], "accel_mode": cfg["accel_mode"]}
+    pl.ui_param("Unit distance", lambda: state["unit_distance"],
+                lambda v: state.__setitem__("unit_distance", v),
+                minf=0.01 * scale, maxf=5.0 * scale)
+    pl.ui_param("Use naive accel", lambda: state["accel_active"],
+                lambda v: state.__setitem__("accel_active", v))
+    pl.ui_param("Sampler mode", lambda: state["mode"],
+                lambda v: state.__setitem__("mode", v),
+                options=["user geom mode", "triangle mode", "cuBQL mode"])
+    pl.ui_param("Accel mode", lambda: state["accel_mode"],
+                lambda v: state.__setitem__("accel_mode", v),
+                options=["sphere accel", "grid accel"])
+
+    # -- accel builds --------------------------------------------------------
+    raygen = cfg["raygen"]
+    shell = grid = bands = packed = None
+    if raygen == "fast":
+        bands = build_radial_bands(ds, cfg["bands"])
+    elif raygen == "accel":
+        if cfg["accel_mode"] == "sphere":
+            shell = build_shell_accel(ds, stats.spherical_bounds_lo,
+                                      stats.spherical_bounds_hi)
+        else:
+            grid = build_grid_accel(ds, stats.world_bounds_lo, stats.world_bounds_hi)
+
+    device = {}
+
+    def on_tf_update(tf_state, index):
+        """TF-edit handler: refresh device LUT + majorants
+        (ref: hostCode.cu:878-909)."""
+        nonlocal shell, grid, bands, packed
+        device["tf"] = tf_state.to_device()
+        if bands is not None:
+            bands = update_band_majorants(bands, device["tf"].values,
+                                          device["tf"].value_range)
+        if shell is not None:
+            shell = update_majorants(shell, device["tf"].values,
+                                     device["tf"].value_range)
+        if grid is not None:
+            grid = update_majorants(grid, device["tf"].values,
+                                    device["tf"].value_range)
+        if raygen == "fast":
+            packed = pack_cells(cells, device["tf"])
+
+    pl.set_transfunc_update_handler(on_tf_update)
+    on_tf_update(pl.transfunc, 0)
+
+    W, H = pl.width, pl.height
+    frame = {"accum": None, "fb": None}
+    frame["accum"], frame["fb"] = alloc_frame(W, H)
+
+    def render(frame_id):
+        if frame_id == 0:
+            frame["accum"], frame["fb"] = alloc_frame(W, H)
+        lp = make_launch_params(
+            cam.basis(W, H), stats.world_bounds_lo, stats.world_bounds_hi,
+            ambient_color=(1.0, 1.0, 1.0), ambient_radiance=1.0,
+            unit_distance=state["unit_distance"], accum_id=frame_id)
+        if raygen == "fast":
+            frame["accum"], frame["fb"] = render_frame_fast(
+                cells, packed, locator, bands, lp, frame["accum"], frame["fb"],
+                width=W, height=H)
+        elif raygen == "accel" and state["accel_active"]:
+            accel = shell if cfg["accel_mode"] == "sphere" else grid
+            frame["accum"], frame["fb"] = render_frame_accel(
+                cells, device["tf"], accel, lp, frame["accum"], frame["fb"],
+                width=W, height=H, accel_mode=cfg["accel_mode"],
+                sampler=cfg["sampler"], locator=locator)
+        else:
+            frame["accum"], frame["fb"] = render_frame_ae(
+                cells, device["tf"], lp, frame["accum"], frame["fb"],
+                width=W, height=H, sampler=cfg["sampler"], locator=locator)
+        return frame["fb"]
+
+    pl.set_render_fn(render)
+
+    # render loop (ref: hostCode.cu:931-965)
+    while True:
+        pl.launch()
+        if not pl.is_running():
+            break
+    pl.present()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -128,6 +128,41 @@ def _finalize(wrote, color_alpha, accum, fb, accum_id):
     return accum_out, fb_out
 
 
+#: default rays-in-flight per wavefront chunk; bounds the live-state and
+#: gather-intermediate memory of the vmapped tracking loops, and limits
+#: loop-length divergence (each chunk's while_loop runs only as long as its
+#: own slowest ray, instead of the whole frame's)
+DEFAULT_CHUNK = 64 * 1024
+
+
+def _map_chunks(pixel_fn, xs, ys, chunk: int):
+    """vmap(pixel_fn) over pixels, sequentially lax.map'ed in chunks."""
+    total = xs.shape[0]
+    if total <= chunk:
+        return jax.vmap(pixel_fn)(xs, ys)
+    n = -(-total // chunk)
+    pad = n * chunk - total
+    if pad:
+        xs = jnp.concatenate([xs, jnp.zeros(pad, xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros(pad, ys.dtype)])
+    wrote, ca = jax.lax.map(
+        lambda c: jax.vmap(pixel_fn)(c[0], c[1]),
+        (xs.reshape(n, chunk), ys.reshape(n, chunk)))
+    return wrote.reshape(-1)[:total], ca.reshape(-1, 4)[:total]
+
+
+def frame_pixels_ae(cells: Cells, tf: Transfunc, lp: LaunchParams,
+                    xs, ys, width: int, height: int,
+                    sampler: str = "brute", locator: Locator | None = None,
+                    chunk: int = DEFAULT_CHUNK):
+    """Vectorized AE raygen over arbitrary pixel index arrays.
+    Returns (wrote (P,), color_alpha (P, 4))."""
+    sample_fn = make_sample_fn(cells, locator, sampler)
+    return _map_chunks(
+        lambda x, y: _pixel_ae(sample_fn, cells, tf, lp, x, y, width, height),
+        xs, ys, chunk)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "sampler"),
                    donate_argnames=("accum", "fb"))
 def render_frame_ae(cells: Cells, tf: Transfunc, lp: LaunchParams,
@@ -139,10 +174,9 @@ def render_frame_ae(cells: Cells, tf: Transfunc, lp: LaunchParams,
     accum: (H*W, 4) f32; fb: (H*W,) uint32; row 0 = bottom of image.
     Returns updated (accum, fb).
     """
-    sample_fn = make_sample_fn(cells, locator, sampler)
     ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
-    wrote, color_alpha = jax.vmap(
-        lambda x, y: _pixel_ae(sample_fn, cells, tf, lp, x, y, width, height))(xs, ys)
+    wrote, color_alpha = frame_pixels_ae(cells, tf, lp, xs, ys, width, height,
+                                         sampler, locator)
     return _finalize(wrote, color_alpha, accum, fb, lp.accum_id)
 
 
@@ -175,6 +209,20 @@ def _pixel_accel(sample_fn, cells: Cells, tf: Transfunc, accel,
     return hit_box, jnp.concatenate([rgb, res.alpha[None]])
 
 
+def frame_pixels_accel(cells: Cells, tf: Transfunc, accel, lp: LaunchParams,
+                       xs, ys, width: int, height: int,
+                       accel_mode: str = "sphere", sampler: str = "brute",
+                       locator: Locator | None = None,
+                       chunk: int = DEFAULT_CHUNK):
+    """Vectorized accel raygen over arbitrary pixel index arrays.
+    Returns (wrote (P,), color_alpha (P, 4))."""
+    sample_fn = make_sample_fn(cells, locator, sampler)
+    return _map_chunks(
+        lambda x, y: _pixel_accel(sample_fn, cells, tf, accel, lp, x, y,
+                                  width, height, accel_mode),
+        xs, ys, chunk)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "accel_mode", "sampler"),
                    donate_argnames=("accum", "fb"))
@@ -188,11 +236,10 @@ def render_frame_accel(cells: Cells, tf: Transfunc, accel, lp: LaunchParams,
     accel: ShellAccel (accel_mode='sphere') or GridAccel (accel_mode='grid')
     with max_opacities up to date for the current transfer function.
     """
-    sample_fn = make_sample_fn(cells, locator, sampler)
     ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
-    wrote, color_alpha = jax.vmap(
-        lambda x, y: _pixel_accel(sample_fn, cells, tf, accel, lp, x, y,
-                                  width, height, accel_mode))(xs, ys)
+    wrote, color_alpha = frame_pixels_accel(cells, tf, accel, lp, xs, ys,
+                                            width, height, accel_mode,
+                                            sampler, locator)
     return _finalize(wrote, color_alpha, accum, fb, lp.accum_id)
 
 

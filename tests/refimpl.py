@@ -459,3 +459,60 @@ def render_accel(ds, lut, value_range, opacity_scale, cam, width, height,
                 out[2] = linear_to_srgb(out[2])
                 fb[pixel] = make_rgba(out)
     return accum, fb
+
+
+# ===========================================================================
+# UElems Newton intersectors (ref: icon_rt/UElems.h)
+# ===========================================================================
+
+def _newton_ref(P, V, S, shape_fn, deriv_fn, extra):
+    bbox = V.max(axis=0) - V.min(axis=0)
+    tol = F(np.sum(bbox * bbox, dtype=F) * 1e-6)
+    pc = np.array([0.5, 0.5, 0.5], F)
+    w = None
+    converged = False
+    for _ in range(10):
+        if converged:
+            break
+        w = shape_fn(pc)
+        dr, ds_, dt = deriv_fn(pc)
+        fcol = (V * w[:, None]).sum(0).astype(F) - P
+        rcol = (V * dr[:, None]).sum(0).astype(F)
+        scol = (V * ds_[:, None]).sum(0).astype(F)
+        tcol = (V * dt[:, None]).sum(0).astype(F)
+        d = F(np.dot(rcol, np.cross(scol, tcol)))
+        if abs(d) < tol:
+            return False, F(0)
+        d0 = F(np.dot(fcol, np.cross(scol, tcol)) / d)
+        d1 = F(np.dot(rcol, np.cross(fcol, tcol)) / d)
+        d2 = F(np.dot(rcol, np.cross(scol, fcol)) / d)
+        pc = (pc - np.array([d0, d1, d2], F)).astype(F)
+        if abs(d0) < 1e-4 and abs(d1) < 1e-4 and abs(d2) < 1e-4:
+            converged = True
+        elif abs(pc[0]) > 1e6 or abs(pc[1]) > 1e6 or abs(pc[2]) > 1e6:
+            return False, F(0)
+    if not converged:
+        return False, F(0)
+    lo, hi = -1e-6, 1.0 + 1e-6
+    if np.all(pc >= lo) and np.all(pc <= hi) and extra(pc, hi):
+        return True, F(np.sum(w * S, dtype=F))
+    return False, F(0)
+
+
+def _wedge_shape_ref(pc):
+    r, s, t = pc
+    return np.array([(1 - r - s) * (1 - t), r * (1 - t), s * (1 - t),
+                     (1 - r - s) * t, r * t, s * t], F)
+
+
+def _wedge_derivs_ref(pc):
+    r, s, t = pc
+    dr = np.array([-1 + t, 1 - t, 0, -t, t, 0], F)
+    ds_ = np.array([-1 + t, 0, 1 - t, -t, 0, t], F)
+    dt = np.array([-1 + r + s, -r, -s, 1 - r - s, r, s], F)
+    return dr, ds_, dt
+
+
+def intersect_wedge_ref(P, V, S):
+    return _newton_ref(P, V, S, _wedge_shape_ref, _wedge_derivs_ref,
+                       lambda pc, hi: pc[0] + pc[1] <= hi)
