@@ -83,8 +83,14 @@ def _layer_values(ds: ICDataset, L: int):
 
 def _rasterize(vr_lo, vr_hi, lo_idx, up_idx, val_lo, val_hi, dims):
     """Scatter (val_lo, val_hi) min/max into every bin of [lo_idx, up_idx]
-    boxes.  Vectorized offset loop for small footprints; per-item python
-    loop for the rare huge ones (e.g. dateline-spanning cells)."""
+    boxes.  Prefers the C++ host module; numpy fallback uses a vectorized
+    offset loop for small footprints and a per-item python loop for the
+    rare huge ones (e.g. dateline-spanning cells)."""
+    from ..utils.native import native_rasterize
+    if native_rasterize(np.ascontiguousarray(lo_idx),
+                        np.ascontiguousarray(up_idx),
+                        val_lo, val_hi, dims, vr_lo, vr_hi):
+        return
     ext = up_idx - lo_idx + 1
     small = np.all(ext <= 8, axis=1)
     sx, sy, sz = dims[0], dims[1], dims[2]

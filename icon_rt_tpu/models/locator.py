@@ -46,11 +46,13 @@ class Locator(NamedTuple):
 
 
 def build_locator(ds: ICDataset, dims: tuple[int, int] | None = None,
-                  pad: float = 1e-4) -> Locator:
+                  pad: float = 1e-4, use_native: bool = True) -> Locator:
     """Bin cells by their (lat, lon) corner bounding boxes.
 
     dims defaults to roughly sqrt(2 N) per axis so mean occupancy stays a
-    few cells per bin independent of the R2B level.
+    few cells per bin independent of the R2B level.  With use_native the
+    two-pass binning runs in the C++ host module (native/icon_host.cpp) —
+    identical output, load-time speed at R2B9 scale.
     """
     n = ds.num_cells
     if dims is None:
@@ -62,6 +64,19 @@ def build_locator(ds: ICDataset, dims: tuple[int, int] | None = None,
     lat_hi = float(ds.lat.max()) + pad if n else np.pi / 2
     lon_lo = float(ds.lon.min()) - pad if n else -np.pi
     lon_hi = float(ds.lon.max()) + pad if n else np.pi
+
+    if use_native and n:
+        from ..utils.native import native_locator_bins
+        res = native_locator_bins(ds.lat, ds.lon, lat_lo, lat_hi,
+                                  lon_lo, lon_hi, n_lat, n_lon)
+        if res is not None:
+            bins, _ = res
+            return Locator(
+                bins=jnp.asarray(bins),
+                lat_lo=jnp.float32(lat_lo), lat_hi=jnp.float32(lat_hi),
+                lon_lo=jnp.float32(lon_lo), lon_hi=jnp.float32(lon_hi),
+                dims=jnp.asarray([n_lat, n_lon], jnp.int32),
+            )
 
     def lat_bin(v):
         return np.clip(((v - lat_lo) / (lat_hi - lat_lo) * n_lat).astype(np.int64),

@@ -1,0 +1,7 @@
+#!/bin/sh
+# Build the native host module.  Run from anywhere; output lands next to
+# the source as libicon_host.so.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -march=native -fPIC -shared -fopenmp -o libicon_host.so icon_host.cpp
+echo "built $(pwd)/libicon_host.so"

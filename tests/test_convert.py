@@ -1,0 +1,120 @@
+"""convert_icon + pure-numpy NetCDF classic reader."""
+import numpy as np
+import pytest
+
+scipy_io = pytest.importorskip("scipy.io")
+
+from icon_rt_tpu.data.netcdf import Dataset
+from icon_rt_tpu.data.icfile import read_ic
+from icon_rt_tpu.tools import convert_icon as ci
+
+
+def _write_nc(path, dims, variables, attrs=None):
+    f = scipy_io.netcdf_file(path, "w")
+    for n, s in dims.items():
+        f.createDimension(n, s)
+    for name, (dimnames, data) in variables.items():
+        v = f.createVariable(name, data.dtype.newbyteorder(">"), dimnames)
+        v[:] = data
+    for k, v in (attrs or {}).items():
+        setattr(f, k, v)
+    f.close()
+
+
+def test_netcdf_reader_roundtrip(tmp_path):
+    p = str(tmp_path / "t.nc")
+    cell = 12
+    data = np.arange(cell * 3, dtype=np.float32).reshape(cell, 3)
+    ints = np.arange(cell, dtype=np.int32) * 2
+    _write_nc(p, {"cell": cell, "nv": 3},
+              {"clat_vertices": (("cell", "nv"), data),
+               "ids": (("cell",), ints)})
+    ds = Dataset(p)
+    assert ds.dimensions["cell"] == cell
+    np.testing.assert_array_equal(ds["clat_vertices"], data)
+    np.testing.assert_array_equal(ds["ids"], ints)
+
+
+def test_netcdf_record_variable(tmp_path):
+    p = str(tmp_path / "r.nc")
+    f = scipy_io.netcdf_file(p, "w")
+    f.createDimension("time", None)  # unlimited
+    f.createDimension("cell", 5)
+    v = f.createVariable("HHL", np.dtype(">f4"), ("time", "cell"))
+    v[0] = np.arange(5, dtype=np.float32)
+    v[1] = np.arange(5, dtype=np.float32) + 100
+    f.close()
+    ds = Dataset(p)
+    arr = ds["HHL"]
+    assert arr.shape == (2, 5)
+    np.testing.assert_allclose(arr[1], np.arange(5) + 100)
+
+
+def _make_icon_inputs(tmp_path, ncell=8, nlev=4):
+    rs = np.random.RandomState(0)
+    lat = np.deg2rad(rs.uniform(-60, 60, (ncell, 3))).astype(np.float32)
+    lon = np.deg2rad(rs.uniform(-170, 170, (ncell, 3))).astype(np.float32)
+    hgrid = str(tmp_path / "grid.nc")
+    _write_nc(hgrid, {"cell": ncell, "nv": 3},
+              {"clat_vertices": (("cell", "nv"), lat),
+               "clon_vertices": (("cell", "nv"), lon)})
+    hsurf = str(tmp_path / "hsurf.nc")
+    _write_nc(hsurf, {"cell": ncell},
+              {"HSURF": (("cell",), rs.uniform(0, 500, ncell).astype(np.float32))})
+    hhl_files, data_files = [], []
+    for k in range(nlev + 1):
+        p = str(tmp_path / f"hhl{k}.nc")
+        h = np.full(ncell, 1000.0 * (k + 1), np.float32) \
+            + rs.uniform(0, 50, ncell).astype(np.float32)
+        _write_nc(p, {"cell": ncell}, {"HHL": (("cell",), h)})
+        hhl_files.append(p)
+    for k in range(nlev):
+        p = str(tmp_path / f"pres{k}.nc")
+        d = rs.uniform(900, 1100, ncell).astype(np.float32)
+        _write_nc(p, {"cell": ncell}, {"pres": (("cell",), d)})
+        data_files.append(p)
+    return hgrid, hsurf, hhl_files, data_files, lat, lon
+
+
+def test_convert_to_ic(tmp_path):
+    hgrid, hsurf, hhl, data, lat, lon = _make_icon_inputs(tmp_path)
+    ds = ci.convert(hgrid, hsurf, hhl, data)
+    assert ds.num_cells == 8
+    np.testing.assert_allclose(ds.lat, lat, rtol=1e-6)
+    np.testing.assert_allclose(ds.lon, lon, rtol=1e-6)
+    assert np.all(ds.num_layers == 4)
+    # radii ascending, starting at R + HSURF
+    for i in range(ds.num_cells):
+        h = ds.height[i, :5]
+        assert np.all(np.diff(h) > 0)
+        assert h[0] >= ci.EARTH_RADIUS
+    # values normalized to [0, 1]
+    vals = ds.value[:, :4]
+    assert vals.min() >= 0 and vals.max() <= 1.0 + 1e-6
+    assert vals.max() > 0.99  # global min-max normalization hits both ends
+    assert vals.min() < 0.01
+
+
+def test_convert_cli_writes_ic(tmp_path):
+    hgrid, hsurf, hhl, data, _, _ = _make_icon_inputs(tmp_path)
+    out = str(tmp_path / "out")
+    rc = ci.main(["-hgrid", hgrid, "-hsurf", hsurf, "-hhl", *hhl,
+                  "-data", *data, "-o", out, "--umesh"])
+    assert rc == 0
+    ds = read_ic(out + ".ic")
+    assert ds.num_cells == 8
+    # wedge export exists and has the right counts
+    raw = open(out + ".wedges", "rb").read()
+    assert raw[:4] == b"ICWG"
+    import struct
+    _, nv, nw = struct.unpack("<IQQ", raw[4:24])
+    assert nw == 8 * 4 and nv == nw * 6
+
+
+def test_convert_layer_split(tmp_path):
+    hgrid, hsurf, hhl, data, _, _ = _make_icon_inputs(tmp_path, ncell=3, nlev=4)
+    # force splitting: pretend LMAX is tiny by asking for max 4 layers but
+    # records split at 31 — instead verify the no-split path plus that a
+    # 40-level column would split (synthesized directly)
+    ds = ci.convert(hgrid, hsurf, hhl, data, max_layers=2)
+    assert np.all(ds.num_layers == 2)
