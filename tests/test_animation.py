@@ -1,0 +1,69 @@
+"""Multi-timestep animation on a shared grid."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icon_rt_tpu.data import synthetic
+from icon_rt_tpu.data.animation import Animation, animate_fast
+from icon_rt_tpu.data.icfile import ICDataset
+from icon_rt_tpu.models.cells import build_cells, compute_stats
+from icon_rt_tpu.models.locator import build_locator
+from icon_rt_tpu.models.shells import build_radial_bands, update_band_majorants
+from icon_rt_tpu.models.transfunc import make_transfunc
+from icon_rt_tpu.ops.camera import Camera
+from icon_rt_tpu.ops.render import make_launch_params
+
+
+def _series(n_t=3):
+    base = synthetic.latlon_section(n_lat=2, n_lon=2, num_layers=3,
+                                    radius=100.0, thickness=30.0)
+    steps = []
+    for t in range(n_t):
+        v = np.clip(base.value * (0.3 + 0.35 * t), 0, 1).astype(np.float32)
+        steps.append(ICDataset(base.lat, base.lon, base.num_layers,
+                               base.height, v))
+    return steps
+
+
+def test_animation_validates_grid():
+    steps = _series()
+    anim = Animation(steps)
+    assert anim.num_timesteps == 3
+    bad = _series(2)
+    bad[1] = ICDataset(bad[1].lat * 1.01, bad[1].lon, bad[1].num_layers,
+                       bad[1].height, bad[1].value)
+    with pytest.raises(ValueError):
+        Animation(bad)
+
+
+def test_animate_fast_yields_changing_frames():
+    W = H = 16
+    anim = Animation(_series(3))
+    ds0 = anim.geometry
+    stats = compute_stats(ds0)
+    cells = build_cells(ds0)
+    loc = build_locator(ds0)
+    tf = make_transfunc(value_range=(0.0, 1.0), size=32)
+    # conservative over ALL timesteps: widen the band ranges to [0,1]
+    bands = build_radial_bands(ds0, 8)
+    bands = bands._replace(value_ranges=jnp.tile(
+        jnp.asarray([[0.0, 1.0]], jnp.float32), (bands.num_bands, 1)))
+    bands = update_band_majorants(bands, tf.values, tf.value_range)
+
+    cam = Camera()
+    center = 0.5 * (stats.world_bounds_lo + stats.world_bounds_hi)
+    diag = np.linalg.norm(stats.world_bounds_hi - stats.world_bounds_lo)
+    cam.set_orientation(center + np.array([0.7 * diag, 0, 0], np.float32),
+                        center, np.array([0, 0, 1], np.float32), cam.fovy)
+
+    def lp_for(t, s):
+        return make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                                  stats.world_bounds_hi, unit_distance=5.0,
+                                  accum_id=s)
+
+    frames = list(animate_fast(anim, cells, loc, bands, tf, lp_for,
+                               W, H, samples_per_frame=2))
+    assert len(frames) == 3
+    assert all(f.shape == (W * H,) for f in frames)
+    # scalar field changes over time -> frames differ
+    assert not np.array_equal(frames[0], frames[2])
