@@ -79,6 +79,7 @@ def main(argv=None):
     from icon_rt_tpu.models.wedges import build_wedges
     from icon_rt_tpu.ops.camera import Camera
     from icon_rt_tpu.ops.fast import pack_cells, render_frame_fast
+    from icon_rt_tpu.ops.order import inverse_order, pixel_order
     from icon_rt_tpu.ops.render import (alloc_frame, make_launch_params,
                                         render_frame_accel, render_frame_ae)
     from icon_rt_tpu.pipeline.pipeline import Pipeline, TransfuncState
@@ -168,7 +169,7 @@ def main(argv=None):
     on_tf_update(pl.transfunc, 0)
 
     W, H = pl.width, pl.height
-    frame = {"accum": None, "fb": None}
+    frame = {"accum": None, "fb": None, "perm": None, "inv": None}
     frame["accum"], frame["fb"] = alloc_frame(W, H)
 
     def render(frame_id):
@@ -179,9 +180,15 @@ def main(argv=None):
             ambient_color=(1.0, 1.0, 1.0), ambient_radiance=1.0,
             unit_distance=state["unit_distance"], accum_id=frame_id)
         if raygen == "fast":
+            if frame["perm"] is None or frame_id == 0:
+                # re-sort rays by expected cost on camera change
+                p = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                stats.spherical_bounds_hi[0], W, H)
+                frame["inv"] = inverse_order(p)
+                frame["perm"] = jnp.asarray(p)
             frame["accum"], frame["fb"] = render_frame_fast(
                 cells, packed, locator, bands, lp, frame["accum"], frame["fb"],
-                width=W, height=H)
+                width=W, height=H, pixel_perm=frame["perm"])
         elif raygen == "accel" and state["accel_active"]:
             accel = shell if cfg["accel_mode"] == "sphere" else grid
             frame["accum"], frame["fb"] = render_frame_accel(
@@ -195,6 +202,13 @@ def main(argv=None):
         return frame["fb"]
 
     pl.set_render_fn(render)
+
+    def present_fn(fb, w, h):
+        # fast path renders in ray-sorted order; unpermute on the host
+        if raygen == "fast" and frame["inv"] is not None:
+            fb = fb[frame["inv"]]
+        pl.write_frame(fb)
+    pl.present_fn = present_fn
 
     # render loop (ref: hostCode.cu:931-965)
     while True:

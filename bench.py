@@ -36,6 +36,7 @@ from icon_rt_tpu.models.shells import (build_radial_bands,  # noqa: E402
 from icon_rt_tpu.models.transfunc import make_transfunc  # noqa: E402
 from icon_rt_tpu.ops.camera import Camera  # noqa: E402
 from icon_rt_tpu.ops.fast import pack_cells, render_frame_fast  # noqa: E402
+from icon_rt_tpu.ops.order import inverse_order, pixel_order  # noqa: E402
 from icon_rt_tpu.ops.render import alloc_frame, make_launch_params  # noqa: E402
 
 
@@ -65,19 +66,24 @@ def main():
                             stats.world_bounds_hi, unit_distance=unit_distance)
 
     accum, fb = alloc_frame(width, height)
+    perm = pixel_order(lp, stats.spherical_bounds_lo[0],
+                       stats.spherical_bounds_hi[0], width, height)
+    inv = inverse_order(perm)
+    perm = jnp.asarray(perm)
 
     def step(s, accum, fb):
         return render_frame_fast(cells, packed, locator, bands,
                                  lp._replace(accum_id=jnp.int32(s)),
-                                 accum, fb, width=width, height=height)
+                                 accum, fb, width=width, height=height,
+                                 pixel_perm=perm)
 
     accum, fb = step(0, accum, fb)
-    cov = float((np.asarray(fb) != 0).mean())  # validate + sync
+    cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
 
     t0 = time.perf_counter()
     for s in range(1, 1 + iters):
         accum, fb = step(s, accum, fb)
-    cov = float((np.asarray(fb) != 0).mean())  # validate + sync
+    cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
     dt = time.perf_counter() - t0
 
     rays = width * height * iters

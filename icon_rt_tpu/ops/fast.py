@@ -408,13 +408,22 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
                       width: int, height: int, steps_per_refresh: int = 16,
-                      chunk: int = 64 * 1024):
+                      chunk: int = 64 * 1024, pixel_perm=None):
     """Full-frame progressive step on the fast path (drop-in peer of
-    render_frame_ae / render_frame_accel)."""
+    render_frame_ae / render_frame_accel).
+
+    pixel_perm: optional (H*W,) i32 permutation (ops/order.pixel_order);
+    when given, lane i renders pixel pixel_perm[i] and accum/fb are in
+    PERMUTED order — unpermute with perm at present time.  Sorting by ray
+    cost raises wavefront lane utilization several-fold.
+    """
     from .render import _finalize  # local import to avoid cycle
 
     total = width * height
-    ys_all, xs_all = jnp.divmod(jnp.arange(total, dtype=jnp.int32), width)
+    pix = jnp.arange(total, dtype=jnp.int32)
+    if pixel_perm is not None:
+        pix = pixel_perm
+    ys_all, xs_all = jnp.divmod(pix, width)
 
     def run(xs, ys):
         return render_fast(cells, packed, loc, bands, lp, xs, ys,

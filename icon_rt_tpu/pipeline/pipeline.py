@@ -246,7 +246,10 @@ class Pipeline:
         if self.present_fn is not None:
             self.present_fn(fb, self.width, self.height)
             return
-        # batch mode: PNG + FPS (ref: pipeline.cu:733-740)
+        self.write_frame(fb)
+
+    def write_frame(self, fb: np.ndarray):
+        """Batch-mode output: PNG + FPS (ref: pipeline.cu:733-740)."""
         from ..ops.render import fb_to_image
         img = fb_to_image(fb, self.width, self.height)
         out = f"{self.name}.png"
