@@ -17,13 +17,17 @@ gather-bound.  This raygen is a from-scratch design around that constraint
   * Column-resident sampling: each lane caches its current column's packed
     record (side planes, radial bounds, per-layer heights and PRE-CLASSIFIED
     RGBA).  A Woodcock sample inside the cached column is pure arithmetic
-    (plane tests + layer popcount + one-hot select) — classification
+    (plane tests + ascending-first-match layer select) — classification
     included, because classify(value[layer]) is per-(cell, layer) constant
     for a fixed transfer function and is baked into the record at TF-edit
     time.  Gathers happen only when a lane's sample exits its cached
     column ("refresh"), and all stalled lanes share one batched refresh.
   * Two-phase loop: an outer while iteration performs one batched locator
-    refresh, then an inner fori of `steps_per_refresh` gather-free steps.
+    refresh, then `steps_per_refresh` gather-free steps.  The gather-free
+    phase can run either as plain XLA or as a Pallas kernel that keeps the
+    whole per-lane state resident in VMEM across steps (use_pallas=True).
+  * Ray ordering (ops/order.py) sorts pixels by expected cost so the
+    lane-masked loop isn't bound by one slow ray per 64k chunk.
 
 The estimator is standard delta tracking with a conservative, piecewise-
 constant-in-radius majorant: unbiased, so converged images match the
@@ -44,10 +48,10 @@ from ..models.cells import Cells
 from ..models.locator import Locator
 from ..models.shells import RadialBands
 from ..models.transfunc import Transfunc, post_classify
-from ..utils import color as colorlib
 from ..utils.lcg import lcg_init, lcg_next
 
 F32 = jnp.float32
+PROF_W = MAX_LAYERS * 5   # heights (32) + classified rgba (128)
 
 
 # ===========================================================================
@@ -59,8 +63,10 @@ class PackedCells(NamedTuple):
 
     test: (N, 16) f32 — 3 side planes (nx,ny,nz,w)x3, h_bot, h_top,
           float(num_layers), pad.
-    prof: (N, 32 + 32*4) f32 — per-layer top heights h[1..32] then the
-          CLASSIFIED per-layer RGBA (baked at TF-edit time).
+    prof: (N, 160) f32 — per-layer ceiling heights h[1..32] (inf-padded
+          past num_layers) then the CLASSIFIED per-layer RGBA stored
+          PLANAR (R[32] | G[32] | B[32] | A[32]) so layer selection is
+          four 2-D masked sums (Mosaic handles no 3-D reshapes).
     """
     test: jnp.ndarray
     prof: jnp.ndarray
@@ -82,14 +88,15 @@ def pack_profile_rows(cells: Cells, tf: Transfunc) -> jnp.ndarray:
     fast-path analog of the reference's computeMaxOpacities TF-edit hook,
     ref: hostCode.cu:878-909)."""
     n = cells.num_cells
-    # h[1..32]: the layer-k ceiling; entries past num_layers never match
     heights_hi = jnp.concatenate(
         [cells.height[:, 1:], cells.height[:, -1:]], axis=1)  # (N, 32)
     k = jnp.arange(1, MAX_LAYERS + 1)
     valid = k[None, :] <= cells.num_layers[:, None]
     heights_hi = jnp.where(valid, heights_hi, jnp.float32(np.inf))
-    rgba = jax.vmap(jax.vmap(lambda v: post_classify(tf, v)))(cells.value)  # (N,32,4)
-    return jnp.concatenate([heights_hi, rgba.reshape(n, MAX_LAYERS * 4)], axis=1)
+    rgba = jax.vmap(jax.vmap(lambda v: post_classify(tf, v)))(cells.value)
+    planar = jnp.concatenate([rgba[:, :, 0], rgba[:, :, 1],
+                              rgba[:, :, 2], rgba[:, :, 3]], axis=1)
+    return jnp.concatenate([heights_hi, planar], axis=1)
 
 
 def pack_cells(cells: Cells, tf: Transfunc) -> PackedCells:
@@ -98,37 +105,44 @@ def pack_cells(cells: Cells, tf: Transfunc) -> PackedCells:
 
 
 # ===========================================================================
-# The render kernel
+# Shape-agnostic step math (shared by the XLA and Pallas paths).
+# All per-lane arrays are (L,) / (L, W); L may be a full chunk or a
+# Pallas block.  Boolean lane masks are int32 0/1 so the same arrays can
+# live in VMEM refs.
 # ===========================================================================
 
 class _State(NamedTuple):
-    # woodcock / traversal (all (L,))
-    t: jnp.ndarray          # current parameter
-    seg_end: jnp.ndarray    # current band segment exit
-    seg_hi: jnp.ndarray     # current shell segment end
+    t: jnp.ndarray          # f32 current parameter
+    seg_end: jnp.ndarray    # f32 current band segment exit
+    seg_hi: jnp.ndarray     # f32 current shell segment end
     band: jnp.ndarray       # i32 current band
-    m: jnp.ndarray          # current majorant
+    m: jnp.ndarray          # f32 current majorant
     si: jnp.ndarray         # i32 shell segment index (0 or 1)
-    # pending sample
-    pending: jnp.ndarray    # bool: sample at t awaits the outer refresh
-    # cached column
+    pending: jnp.ndarray    # i32 sample at t awaits the outer refresh
     c_test: jnp.ndarray     # (L, 16) packed test row
     c_prof: jnp.ndarray     # (L, 160) packed profile row
-    c_hit: jnp.ndarray      # bool: refresh found the point's column
-    c_hit_pending: jnp.ndarray  # bool: lane is in EVAL phase
-    c_valid: jnp.ndarray    # bool: cache holds some real column
-    # rng + output
-    rng: jnp.ndarray
+    c_hit: jnp.ndarray      # i32 refresh found the point's column
+    in_eval: jnp.ndarray    # i32 lane is in EVAL phase
+    c_valid: jnp.ndarray    # i32 cache holds some real column
+    rng: jnp.ndarray        # u32
     cr: jnp.ndarray
     cg: jnp.ndarray
     cb: jnp.ndarray
     alpha: jnp.ndarray
-    done: jnp.ndarray
-    it: jnp.ndarray         # i32 outer iteration counter
+    done: jnp.ndarray       # i32
+
+
+class _Consts(NamedTuple):
+    dx: jnp.ndarray         # (L,) ray directions
+    dy: jnp.ndarray
+    dz: jnp.ndarray
+    od: jnp.ndarray         # (L,) dot(org, dir)
+    s1_lo: jnp.ndarray      # (L,) second shell segment
+    s1_hi: jnp.ndarray
 
 
 def _point_in_test_row(row, px, py, pz, r):
-    """Radial + 3 side-plane containment from a packed test row."""
+    """Radial + 3 side-plane containment from packed test rows (L, 16)."""
     ev1 = row[:, 0] * px + row[:, 1] * py + row[:, 2] * pz - row[:, 3]
     ev2 = row[:, 4] * px + row[:, 5] * py + row[:, 6] * pz - row[:, 7]
     ev3 = row[:, 8] * px + row[:, 9] * py + row[:, 10] * pz - row[:, 11]
@@ -137,24 +151,229 @@ def _point_in_test_row(row, px, py, pz, r):
 
 
 def _classified_at(prof, r):
-    """Layer lookup + classified RGBA from a cached profile row.
-    prof: (L, 160); returns (rr, gg, bb, aa) each (L,)."""
-    heights_hi = prof[:, :MAX_LAYERS]                    # (L, 32), inf-padded
-    layer_oh = jnp.cumsum(
-        (r[:, None] <= heights_hi).astype(F32), axis=1)
-    layer_oh = (layer_oh == 1.0) & (r[:, None] <= heights_hi)  # first match
-    oh = layer_oh.astype(F32)
-    rgba = prof[:, MAX_LAYERS:].reshape(-1, MAX_LAYERS, 4)
-    rr = jnp.sum(oh * rgba[:, :, 0], axis=1)
-    gg = jnp.sum(oh * rgba[:, :, 1], axis=1)
-    bb = jnp.sum(oh * rgba[:, :, 2], axis=1)
-    aa = jnp.sum(oh * rgba[:, :, 3], axis=1)
+    """Layer lookup + classified RGBA from cached profile rows (L, 160).
+    Heights are ascending and inf-padded, so the containing layer is the
+    unique k with h[k-1] < r <= h[k] — two compares, no cumsum."""
+    ml = MAX_LAYERS
+    hh = prof[:, :ml]
+    # heights ascend, so the containing layer index is #(h < r); one-hot it
+    # via an integer iota (no concats/shifts — Mosaic-friendly)
+    layer = jnp.sum((r[:, None] > hh).astype(jnp.int32), axis=1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (hh.shape[0], ml), 1)
+    oh = (ids == layer[:, None]).astype(F32)
+    rr = jnp.sum(oh * prof[:, ml:2 * ml], axis=1)
+    gg = jnp.sum(oh * prof[:, 2 * ml:3 * ml], axis=1)
+    bb = jnp.sum(oh * prof[:, 3 * ml:4 * ml], axis=1)
+    aa = jnp.sum(oh * prof[:, 4 * ml:5 * ml], axis=1)
     return rr, gg, bb, aa
 
 
+def _select_band(arr, b):
+    """One-hot select arr[b] without a gather; arr (B,), b (L,) i32."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], arr.shape[0]), 1)
+    oh = (ids == b[:, None]).astype(F32)
+    return jnp.sum(oh * arr[None, :], axis=1)
+
+
+def _band_exit(t, b, shi, od, oo, edges):
+    """Closed-form t where the ray leaves band b, capped at shi.
+    Returns (t_exit, crossed_inner_edge)."""
+    t_star = -od
+    r_lo_b = _select_band(edges, b)
+    r_hi_b = _select_band(edges, b + 1)
+    disc_in = od * od - oo + r_lo_b * r_lo_b
+    t_in = -od - jnp.sqrt(jnp.maximum(disc_in, 0.0))
+    disc_out = od * od - oo + r_hi_b * r_hi_b
+    t_out = -od + jnp.sqrt(jnp.maximum(disc_out, 0.0))
+    inward = t < t_star
+    use_in = inward & (disc_in > 0.0) & (t_in > t)
+    return jnp.minimum(jnp.where(use_in, t_in, t_out), shi), use_in
+
+
+def _r_of(t, od, oo):
+    return jnp.sqrt(jnp.maximum(oo + 2.0 * t * od + t * t, 1e-30))
+
+
+def _band_of(r, edges, nb):
+    return jnp.clip(
+        jnp.sum((edges[None, :] < r[:, None]).astype(jnp.int32), axis=1) - 1,
+        0, nb - 1)
+
+
+def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
+              nb: int) -> _State:
+    """One gather-free iteration of the tracking machine.
+
+    Lane lifecycle per Woodcock sample:
+      STEP  — draw the flight distance; overshoot -> band/segment advance;
+              otherwise the sample point needs (hit, rgba): in cached
+              column -> evaluate now; else park as `pending` (the outer
+              refresh resolves it) and resume in EVAL.
+      EVAL  — the refresh placed the point's column (or a miss flag,
+              c_hit == 0) in the cache; evaluate, then back to STEP.
+    Evaluation draws the acceptance uniform only when the point is inside
+    the volume — the same draw discipline as the reference
+    (ref: deviceCode.cu:160-183).
+    """
+    ox, oy, oz = org
+    active = (s.done == 0) & (s.pending == 0)
+    in_eval = active & (s.in_eval != 0)
+    in_step = active & (s.in_eval == 0)
+
+    # -- STEP: one tentative collision -------------------------------------
+    has_m = s.m > 0.0
+    rng1, xi = lcg_next(s.rng)
+    stepped = in_step & has_m
+    t_new = jnp.where(stepped, s.t - jnp.log(1.0 - xi) / (s.m / ud), s.t)
+    rng_a = jnp.where(stepped, rng1, s.rng)
+    overshoot = stepped & (t_new > s.seg_end)
+
+    # -- band / segment advance ---------------------------------------------
+    adv = in_step & (overshoot | ~has_m)
+    t_adv = s.seg_end
+    at_seg_end = t_adv >= s.seg_hi
+    _, was_in = _band_exit(s.t, s.band, s.seg_hi, c.od, oo, edges)
+    band_n = s.band + jnp.where(was_in, -1, 1)
+    to_seg1 = adv & at_seg_end & (s.si == 0) & (c.s1_hi > c.s1_lo)
+    t_adv = jnp.where(to_seg1, c.s1_lo, t_adv)
+    band_n = jnp.where(to_seg1, _band_of(_r_of(t_adv, c.od, oo), edges, nb),
+                       band_n)
+    shi_n = jnp.where(to_seg1, c.s1_hi, s.seg_hi)
+    exhausted = at_seg_end & ~to_seg1
+    band_n = jnp.clip(band_n, 0, nb - 1)
+    seg_end_n, _ = _band_exit(t_adv, band_n, shi_n, c.od, oo, edges)
+    m_n = _select_band(majors, band_n)
+
+    # -- sample classification ------------------------------------------------
+    samp_new = stepped & ~overshoot
+    px = ox + c.dx * t_new
+    py = oy + c.dy * t_new
+    pz = oz + c.dz * t_new
+    r = _r_of(t_new, c.od, oo)
+    in_cache = samp_new & (s.c_valid != 0) \
+        & _point_in_test_row(s.c_test, px, py, pz, r)
+    to_pending = samp_new & ~in_cache
+    hit_vol = in_cache | (in_eval & (s.c_hit != 0))
+    rr, gg, bb, aa = _classified_at(s.c_prof, r)
+    rng2, uu = lcg_next(rng_a)
+    rng_b = jnp.where(hit_vol, rng2, rng_a)
+    accept = hit_vol & (aa >= uu * s.m)
+
+    done_n = (s.done != 0) | (adv & exhausted) | accept
+    i32 = lambda b: b.astype(jnp.int32)
+    return _State(
+        t=jnp.where(adv, t_adv, t_new),
+        seg_end=jnp.where(adv, seg_end_n, s.seg_end),
+        seg_hi=jnp.where(to_seg1, shi_n, s.seg_hi),
+        band=jnp.where(adv, band_n, s.band),
+        m=jnp.where(adv, m_n, s.m),
+        si=jnp.where(to_seg1, 1, s.si),
+        pending=i32((s.pending != 0) | to_pending),
+        c_test=s.c_test, c_prof=s.c_prof,
+        c_hit=i32((~in_eval) & (s.c_hit != 0)),
+        in_eval=i32((~in_eval) & ((s.in_eval != 0) | to_pending)),
+        c_valid=s.c_valid,
+        rng=rng_b,
+        cr=jnp.where(accept, rr, s.cr),
+        cg=jnp.where(accept, gg, s.cg),
+        cb=jnp.where(accept, bb, s.cb),
+        alpha=jnp.where(accept, jnp.where(aa > 0.0, 1.0, 0.0), s.alpha),
+        done=i32(done_n),
+    )
+
+
+# ===========================================================================
+# Pallas execution of the gather-free phase: the whole per-lane state stays
+# VMEM-resident across `steps` iterations instead of streaming through HBM
+# every step.
+# ===========================================================================
+
+#: lanes per Pallas block: state is ~185 f32/lane and pallas double-buffers
+#: input and output blocks, so keep well under the 16 MB VMEM budget
+_PALLAS_BLOCK = 1024
+
+
+def _pallas_inner(state: _State, consts: _Consts, edges, majors, org, oo,
+                  ud, nb: int, steps: int, interpret: bool = False) -> _State:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = state.t.shape[0]
+    blk = min(_PALLAS_BLOCK, L)
+    assert L % blk == 0
+    grid = (L // blk,)
+    scal = jnp.stack([org[0], org[1], org[2], oo,
+                      jnp.asarray(ud, F32)]).reshape(1, 5)
+
+    n_state = len(state)
+    n_consts = len(consts)
+
+    def kernel(*refs):
+        state_refs = refs[:n_state]
+        const_refs = refs[n_state:n_state + n_consts]
+        edges_ref, majors_ref, scal_ref = refs[n_state + n_consts:
+                                               n_state + n_consts + 3]
+        out_refs = refs[n_state + n_consts + 3:]
+        c = _Consts(*(r[:] for r in const_refs))
+        e = edges_ref[0, :]
+        mj = majors_ref[0, :]
+        sc = scal_ref[0, :]
+        org_k = (sc[0], sc[1], sc[2])
+        oo_k = sc[3]
+        ud_k = sc[4]
+
+        st = _State(*(r[:] for r in state_refs))
+
+        def body(i, st):
+            return step_core(st, c, e, mj, org_k, oo_k, ud_k, nb)
+        st = jax.lax.fori_loop(0, steps, body, st)
+        for r, v in zip(out_refs, st):
+            r[:] = v
+
+    def spec_1d():
+        return pl.BlockSpec((blk,), lambda i: (i,),
+                            memory_space=pltpu.ANY if False else pltpu.VMEM)
+
+    def spec_2d(w):
+        return pl.BlockSpec((blk, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_for(arr):
+        return spec_2d(arr.shape[1]) if arr.ndim == 2 else spec_1d()
+
+    def full_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: tuple(0 for _ in arr.shape),
+                            memory_space=pltpu.VMEM)
+
+    edges2 = edges.reshape(1, -1)
+    majors2 = majors.reshape(1, -1)
+    in_specs = ([spec_for(a) for a in state]
+                + [spec_for(a) for a in consts]
+                + [full_spec(edges2), full_spec(majors2), full_spec(scal)])
+    out_specs = tuple(spec_for(a) for a in state)
+    out_shape = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in state)
+    aliases = {i: i for i in range(n_state)}
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*state, *consts, edges2, majors2, scal)
+    return _State(*out)
+
+
+# ===========================================================================
+# The render kernel
+# ===========================================================================
+
 def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 bands: RadialBands, lp, xs, ys, width: int, height: int,
-                steps_per_refresh: int = 16, max_outer: int = 4096):
+                steps_per_refresh: int = 16, max_outer: int = 4096,
+                use_pallas: bool = False, pallas_interpret: bool = False):
     """One progressive sample for a batch of pixels.
 
     lp: ops.render.LaunchParams.  xs, ys: (L,) i32 pixel coords.
@@ -169,6 +388,8 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 
     ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
     oo = ox * ox + oy * oy + oz * oz         # scalar
+    org = (ox, oy, oz)
+    ud = lp.unit_distance
 
     # --- raygen (SoA), ref: deviceCode.cu:36-49 semantics -----------------
     seed0 = (lp.accum_id.astype(jnp.uint32) * jnp.uint32(width * height)
@@ -200,12 +421,10 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 
     # shell segments, clamped to t >= 0
     outer_only = hit_o & ~hit_i
-    s0_lo = jnp.where(outer_only, to0, to0)
+    s0_lo = jnp.maximum(to0, 0.0)
     s0_hi = jnp.where(outer_only, to1, ti0)
-    s1_lo = jnp.where(outer_only, F32(np.inf), ti1)
+    s1_lo = jnp.maximum(jnp.where(outer_only, F32(np.inf), ti1), 0.0)
     s1_hi = jnp.where(outer_only, -F32(np.inf), to1)
-    s0_lo = jnp.maximum(s0_lo, 0.0)
-    s1_lo = jnp.maximum(s1_lo, 0.0)
     wrote = hit_o & (to1 > 0.0)
     # degenerate first segment (camera inside inner sphere): skip to second
     s0_bad = s0_hi <= s0_lo
@@ -213,132 +432,29 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
     seg_hi = jnp.where(s0_bad, s1_hi, s0_hi)
     si0 = jnp.where(s0_bad, 1, 0).astype(jnp.int32)
 
-    r_of = lambda t: jnp.sqrt(jnp.maximum(oo + 2.0 * t * od + t * t, 1e-30))
+    band0 = _band_of(_r_of(seg_lo, od, oo), edges, nb)
+    seg_end0, _ = _band_exit(seg_lo, band0, seg_hi, od, oo, edges)
+    m0 = _select_band(majors, band0)
 
-    def band_of(r):
-        return jnp.clip(
-            jnp.sum((edges[None, :] < r[:, None]).astype(jnp.int32), axis=1) - 1,
-            0, nb - 1)
-
-    def select_band(arr, b):
-        """One-hot select arr[b] without a gather; arr (B,) or (B+1,)."""
-        oh = (jnp.arange(arr.shape[0])[None, :] == b[:, None]).astype(F32)
-        return jnp.sum(oh * arr[None, :], axis=1)
-
-    def band_exit(t, b, shi):
-        """Closed-form t where the ray leaves band b, capped at shi."""
-        t_star = -od
-        r_lo_b = select_band(edges, b)
-        r_hi_b = select_band(edges, b + 1)
-        disc_in = od * od - oo + r_lo_b * r_lo_b
-        t_in = -od - jnp.sqrt(jnp.maximum(disc_in, 0.0))
-        disc_out = od * od - oo + r_hi_b * r_hi_b
-        t_out = -od + jnp.sqrt(jnp.maximum(disc_out, 0.0))
-        inward = t < t_star
-        use_in = inward & (disc_in > 0.0) & (t_in > t)
-        return jnp.minimum(jnp.where(use_in, t_in, t_out), shi), use_in
-
-    band0 = band_of(r_of(seg_lo))
-    seg_end0, _ = band_exit(seg_lo, band0, seg_hi)
-    m0 = select_band(majors, band0)
-
-    ud = lp.unit_distance
-
-    def inner_step(s: _State):
-        """One iteration of the gather-free phase.
-
-        Lane lifecycle per Woodcock sample:
-          STEP  — draw the flight distance; overshoot -> band/segment
-                  advance; otherwise the sample point needs (hit, rgba):
-                  in cached column -> evaluate now; else park as `pending`
-                  (the outer refresh resolves it) and resume in EVAL.
-          EVAL  — the refresh placed the point's column (or a miss flag,
-                  ~c_hit) in the cache; evaluate, then back to STEP.
-        Evaluation draws the acceptance uniform only when the point is
-        inside the volume — same draw discipline as the reference
-        (ref: deviceCode.cu:160-183).
-        """
-        active = (~s.done) & (~s.pending)
-        in_eval = active & s.c_hit_pending          # EVAL phase
-        in_step = active & ~s.c_hit_pending         # STEP phase
-
-        # -- STEP: one tentative collision ---------------------------------
-        has_m = s.m > 0.0
-        rng1, xi = lcg_next(s.rng)
-        stepped = in_step & has_m
-        t_new = jnp.where(stepped, s.t - jnp.log(1.0 - xi) / (s.m / ud), s.t)
-        rng_a = jnp.where(stepped, rng1, s.rng)
-        overshoot = stepped & (t_new > s.seg_end)
-
-        # -- band / segment advance -----------------------------------------
-        adv = in_step & (overshoot | ~has_m)
-        t_adv = s.seg_end
-        at_seg_end = t_adv >= s.seg_hi
-        _, was_in = band_exit(s.t, s.band, s.seg_hi)
-        band_n = s.band + jnp.where(was_in, -1, 1)
-        to_seg1 = at_seg_end & (s.si == 0) & (s1_hi > s1_lo)
-        t_adv = jnp.where(to_seg1, s1_lo, t_adv)
-        band_n = jnp.where(to_seg1, band_of(r_of(t_adv)), band_n)
-        shi_n = jnp.where(to_seg1, s1_hi, s.seg_hi)
-        exhausted = at_seg_end & ~to_seg1
-        band_n = jnp.clip(band_n, 0, nb - 1)
-        seg_end_n, _ = band_exit(t_adv, band_n, shi_n)
-        m_n = select_band(majors, band_n)
-
-        # -- sample classification ------------------------------------------
-        samp_new = stepped & ~overshoot
-        px = ox + dx * t_new
-        py = oy + dy * t_new
-        pz = oz + dz * t_new
-        r = r_of(t_new)
-        in_cache = samp_new & s.c_valid & _point_in_test_row(s.c_test, px, py, pz, r)
-        to_pending = samp_new & ~in_cache
-        hit_vol = in_cache | (in_eval & s.c_hit)     # point is inside the volume
-        eval_miss = in_eval & ~s.c_hit
-        rr, gg, bb, aa = _classified_at(s.c_prof, r)
-        rng2, uu = lcg_next(rng_a)
-        rng_b = jnp.where(hit_vol, rng2, rng_a)
-        accept = hit_vol & (aa >= uu * s.m)
-
-        done_n = s.done | (adv & exhausted) | accept
-        del eval_miss  # miss lanes simply fall back to STEP below
-        return _State(
-            t=jnp.where(adv, t_adv, t_new),
-            seg_end=jnp.where(adv, seg_end_n, s.seg_end),
-            seg_hi=jnp.where(to_seg1, shi_n, s.seg_hi),
-            band=jnp.where(adv, band_n, s.band),
-            m=jnp.where(adv, m_n, s.m),
-            si=jnp.where(to_seg1, 1, s.si).astype(jnp.int32),
-            pending=s.pending | to_pending,
-            c_test=s.c_test, c_prof=s.c_prof,
-            c_hit=jnp.where(in_eval, False, s.c_hit),
-            c_hit_pending=jnp.where(in_eval, False,
-                                    jnp.where(to_pending, True, s.c_hit_pending)),
-            c_valid=s.c_valid,
-            rng=rng_b,
-            cr=jnp.where(accept, rr, s.cr),
-            cg=jnp.where(accept, gg, s.cg),
-            cb=jnp.where(accept, bb, s.cb),
-            alpha=jnp.where(accept, jnp.where(aa > 0.0, 1.0, 0.0), s.alpha),
-            done=done_n, it=s.it,
-        )
+    consts = _Consts(dx=dx, dy=dy, dz=dz, od=od, s1_lo=s1_lo, s1_hi=s1_hi)
 
     n_lat = loc.dims[0]
     n_lon = loc.dims[1]
 
-    def refresh(s: _State):
+    def refresh(s: _State) -> _State:
         """Batched locator query for pending lanes; refreshes caches."""
+        pend = s.pending != 0
         px = ox + dx * s.t
         py = oy + dy * s.t
         pz = oz + dz * s.t
-        r = r_of(s.t)
+        r = _r_of(s.t, od, oo)
         lat = jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0))
         lon = jnp.arctan2(py, px)
         bl = jnp.clip(((lat - loc.lat_lo) / (loc.lat_hi - loc.lat_lo)
                        * n_lat.astype(F32)).astype(jnp.int32), 0, n_lat - 1)
         bo = jnp.clip(((lon - loc.lon_lo) / (loc.lon_hi - loc.lon_lo)
                        * n_lon.astype(F32)).astype(jnp.int32), 0, n_lon - 1)
-        bid = jnp.where(s.pending, bl * n_lon + bo, 0)
+        bid = jnp.where(pend, bl * n_lon + bo, 0)
         cand = loc.bins[bid]                             # (L, K) gather
         valid = cand >= 0
         safe = jnp.maximum(cand, 0)
@@ -357,41 +473,49 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         k_oh = (jnp.arange(cand.shape[1])[None, :] == slot[:, None])
         cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
         new_test = jnp.sum(jnp.where(k_oh[..., None], trows, 0.0), axis=1)
-        prow = packed.prof[jnp.where(s.pending & hit, cid, 0)]  # (L, 160)
+        prow = packed.prof[jnp.where(pend & hit, cid, 0)]  # (L, 160) gather
 
-        upd_hit = s.pending & hit
+        upd_hit = pend & hit
         return s._replace(
             pending=jnp.zeros_like(s.pending),
             c_test=jnp.where(upd_hit[:, None], new_test, s.c_test),
             c_prof=jnp.where(upd_hit[:, None], prow, s.c_prof),
-            c_hit=upd_hit,
-            c_valid=s.c_valid | upd_hit,
+            c_hit=upd_hit.astype(jnp.int32),
+            c_valid=((s.c_valid != 0) | upd_hit).astype(jnp.int32),
         )
 
-    def outer_cond(s: _State):
-        return jnp.any(~s.done) & (s.it < max_outer)
+    def inner_phase(s: _State) -> _State:
+        if use_pallas:
+            return _pallas_inner(s, consts, edges, majors, org, oo, ud, nb,
+                                 steps_per_refresh, interpret=pallas_interpret)
+        return jax.lax.fori_loop(
+            0, steps_per_refresh,
+            lambda i, st: step_core(st, consts, edges, majors, org, oo, ud, nb),
+            s)
 
-    def outer_body(s: _State):
-        s = jax.lax.cond(jnp.any(s.pending), refresh, lambda x: x, s)
-        s = jax.lax.fori_loop(0, steps_per_refresh,
-                              lambda i, st: inner_step(st), s)
-        return s._replace(it=s.it + 1)
+    def outer_cond(carry):
+        s, it = carry
+        return jnp.any(s.done == 0) & (it < max_outer)
 
+    def outer_body(carry):
+        s, it = carry
+        s = jax.lax.cond(jnp.any(s.pending != 0), refresh, lambda x: x, s)
+        s = inner_phase(s)
+        return (s, it + 1)
+
+    zero_i = jnp.zeros(L, jnp.int32)
     init = _State(
         t=seg_lo, seg_end=seg_end0, seg_hi=seg_hi, band=band0, m=m0, si=si0,
-        pending=jnp.zeros(L, bool),
+        pending=zero_i,
         c_test=jnp.zeros((L, 16), F32),
-        c_prof=jnp.full((L, MAX_LAYERS * 5), jnp.float32(np.inf), F32),
-        c_hit=jnp.zeros(L, bool),
-        c_hit_pending=jnp.zeros(L, bool),
-        c_valid=jnp.zeros(L, bool),
+        c_prof=jnp.full((L, PROF_W), jnp.float32(np.inf), F32),
+        c_hit=zero_i, in_eval=zero_i, c_valid=zero_i,
         rng=rng,
         cr=jnp.zeros(L, F32), cg=jnp.zeros(L, F32), cb=jnp.zeros(L, F32),
         alpha=jnp.zeros(L, F32),
-        done=~(wrote & (seg_hi > seg_lo)),
-        it=jnp.int32(0),
+        done=(~(wrote & (seg_hi > seg_lo))).astype(jnp.int32),
     )
-    out = jax.lax.while_loop(outer_cond, outer_body, init)
+    out, _ = jax.lax.while_loop(outer_cond, outer_body, (init, jnp.int32(0)))
 
     amb_r = lp.ambient_color[0] * lp.ambient_radiance
     amb_g = lp.ambient_color[1] * lp.ambient_radiance
@@ -403,12 +527,14 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
-                                    "chunk"),
+                                    "chunk", "use_pallas", "pallas_interpret"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
                       width: int, height: int, steps_per_refresh: int = 16,
-                      chunk: int = 64 * 1024, pixel_perm=None):
+                      chunk: int = 64 * 1024, pixel_perm=None,
+                      use_pallas: bool = False,
+                      pallas_interpret: bool = False):
     """Full-frame progressive step on the fast path (drop-in peer of
     render_frame_ae / render_frame_accel).
 
@@ -427,7 +553,9 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
 
     def run(xs, ys):
         return render_fast(cells, packed, loc, bands, lp, xs, ys,
-                           width, height, steps_per_refresh)
+                           width, height, steps_per_refresh,
+                           use_pallas=use_pallas,
+                           pallas_interpret=pallas_interpret)
 
     if total <= chunk:
         wrote, ca = run(xs_all, ys_all)

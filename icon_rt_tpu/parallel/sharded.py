@@ -63,12 +63,15 @@ def render_frame_sharded(mesh: Mesh, cells: Cells, tf: Transfunc, accel,
                          lp: LaunchParams, accum, fb, *,
                          width: int, height: int,
                          accel_mode: str = "grid", sampler: str = "locator",
-                         locator: Locator | None = None):
+                         locator: Locator | None = None,
+                         raygen: str = "accel",
+                         packed=None, bands=None):
     """One progressive render step, framebuffer tile-sharded over 'tiles'
     and sample-sharded over 'samples' (psum composite).
 
     With a (T, S) mesh this performs S accumulation samples per call:
     device (t, s) renders rows-tile t at accum_id = lp.accum_id * S + s.
+    raygen: 'accel' | 'ae' | 'fast' (fast needs packed + bands + locator).
     Returns (accum, fb) with the same shardings as the inputs.
     """
     n_tiles = mesh.shape["tiles"]
@@ -77,14 +80,19 @@ def render_frame_sharded(mesh: Mesh, cells: Cells, tf: Transfunc, accel,
     assert total % n_tiles == 0, "pixel count must divide the tiles axis"
     p_local = total // n_tiles
 
-    def body(cells_, tf_, accel_, locator_, lp_, accum_local, fb_local):
+    def body(cells_, tf_, accel_, locator_, packed_, bands_, lp_,
+             accum_local, fb_local):
         t = jax.lax.axis_index("tiles")
         s = jax.lax.axis_index("samples")
         accum_id = lp_.accum_id * n_samples + s
         lp_s = lp_._replace(accum_id=accum_id)
         pix = t * p_local + jnp.arange(p_local, dtype=jnp.int32)
         ys, xs = jnp.divmod(pix, width)
-        if accel_ is None:
+        if raygen == "fast":
+            from ..ops.fast import render_fast
+            wrote, ca = render_fast(cells_, packed_, locator_, bands_, lp_s,
+                                    xs, ys, width, height)
+        elif raygen == "ae" or accel_ is None:
             wrote, ca = frame_pixels_ae(cells_, tf_, lp_s, xs, ys,
                                         width, height, sampler, locator_)
         else:
@@ -101,20 +109,23 @@ def render_frame_sharded(mesh: Mesh, cells: Cells, tf: Transfunc, accel,
 
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P("tiles", None), P("tiles")),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(),
+                  P("tiles", None), P("tiles")),
         out_specs=(P("tiles", None), P("tiles")),
         check_vma=False)
-    return fn(cells, tf, accel, locator, lp, accum, fb)
+    return fn(cells, tf, accel, locator, packed, bands, lp, accum, fb)
 
 
 def jit_render_frame_sharded(mesh, *, width, height, accel_mode="grid",
-                             sampler="locator", donate=True):
+                             sampler="locator", raygen="accel", donate=True):
     """Jitted closure over the static configuration."""
-    def step(cells, tf, accel, lp, accum, fb, locator=None):
+    def step(cells, tf, accel, lp, accum, fb, locator=None,
+             packed=None, bands=None):
         return render_frame_sharded(mesh, cells, tf, accel, lp, accum, fb,
                                     width=width, height=height,
                                     accel_mode=accel_mode, sampler=sampler,
-                                    locator=locator)
+                                    locator=locator, raygen=raygen,
+                                    packed=packed, bands=bands)
     kw = dict(donate_argnums=(4, 5)) if donate else {}
     return jax.jit(step, **kw)
 

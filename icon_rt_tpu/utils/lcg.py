@@ -38,10 +38,15 @@ def lcg_init(val0, val1, rounds: int = 4):
 
 
 def lcg_next(state):
-    """Advance the LCG; returns (new_state, uniform float32 in [0, 1))."""
+    """Advance the LCG; returns (new_state, uniform float32 in [0, 1)).
+
+    The 24-bit value is cast via int32 (bit-identical, always < 2^24)
+    because Mosaic lacks a uint32->f32 cast.
+    """
     u32 = jnp.uint32
     state = u32(_LCG_A) * state + u32(_LCG_C)
-    value = (state & u32(_MASK24)).astype(jnp.float32) * jnp.float32(_INV_2_24)
+    value = ((state & u32(_MASK24)).astype(jnp.int32).astype(jnp.float32)
+             * jnp.float32(_INV_2_24))
     return state, value
 
 

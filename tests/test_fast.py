@@ -39,10 +39,10 @@ def test_band_majorants_conservative():
     mo = np.asarray(bands.max_opacities)
     heights = np.asarray(cells.height)
     nl = np.asarray(cells.num_layers)
-    rgba = prof[:, 32:].reshape(-1, 32, 4)
+    alpha_planar = prof[:, 4 * 32:5 * 32]   # planar packing: A block
     for i in range(cells.num_cells):
         for L in range(int(nl[i])):
-            a = rgba[i, L, 3]
+            a = alpha_planar[i, L]
             b0 = np.clip(np.searchsorted(edges, heights[i, L], "right") - 1,
                          0, len(mo) - 1)
             b1 = np.clip(np.searchsorted(edges, heights[i, L + 1], "left"),
@@ -103,3 +103,25 @@ def test_fast_deterministic():
     a2, f2 = render_frame_fast(cells, packed, loc, bands, lp,
                                *alloc_frame(W, H), width=W, height=H)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_fast_pallas_interpret_matches_xla():
+    """The Pallas inner phase (interpret mode) must be bit-identical to the
+    XLA inner phase."""
+    W = H = 64  # 4096 lanes = one pallas block
+    ds, stats, cam = _scene()
+    cells = build_cells(ds)
+    loc = build_locator(ds)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    bands = update_band_majorants(build_radial_bands(ds, 8),
+                                  tf.values, tf.value_range)
+    packed = pack_cells(cells, tf)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=5.0)
+    a0, f0 = render_frame_fast(cells, packed, loc, bands, lp,
+                               *alloc_frame(W, H), width=W, height=H)
+    a1, f1 = render_frame_fast(cells, packed, loc, bands, lp,
+                               *alloc_frame(W, H), width=W, height=H,
+                               use_pallas=True, pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))

@@ -81,3 +81,34 @@ def test_sample_sharded_composites():
     both = cover_b & cover_s
     if both.sum():
         assert np.abs(a_batch[both] - a_seq[both]).mean() < 0.35
+
+
+def test_fast_raygen_sharded():
+    """The flagship fast raygen through the (tiles, samples) mesh."""
+    from icon_rt_tpu.models.shells import build_radial_bands, update_band_majorants
+    from icon_rt_tpu.ops.fast import pack_cells, render_frame_fast
+    from icon_rt_tpu.data import synthetic as syn
+
+    W = H = 16
+    ds = syn.icosphere(subdivisions=2, num_layers=4)
+    stats = compute_stats(ds)
+    cells = build_cells(ds)
+    loc = build_locator(ds)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    bands = update_band_majorants(build_radial_bands(ds, 8),
+                                  tf.values, tf.value_range)
+    packed = pack_cells(cells, tf)
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+
+    a_ref, f_ref = render_frame_fast(cells, packed, loc, bands, lp,
+                                     *alloc_frame(W, H), width=W, height=H)
+
+    mesh = make_mesh(tiles=8, samples=1)
+    step = jit_render_frame_sharded(mesh, width=W, height=H, raygen="fast",
+                                    donate=False)
+    accum, fb = shard_frame(mesh, *alloc_frame(W, H))
+    accum, fb = step(cells, tf, None, lp, accum, fb, loc, packed, bands)
+    np.testing.assert_array_equal(gather_frame(fb), np.asarray(f_ref))
