@@ -45,7 +45,17 @@ def parse_app_args(argv):
         elif a == "--lon-range":
             lo, hi = argv[i + 1].split(":"); cfg["lon_range"] = (float(lo), float(hi)); i += 1
         elif a == "-mode":
-            cfg["mode"] = int(argv[i + 1]); i += 1
+            # reference sampler modes (ref: Params.h:29-31): 0 = user geom,
+            # 1 = triangles, 2 = cuBQL.  0/1 both resolve to analytic column
+            # sampling here (locator); 2 selects the wedge Newton sampler.
+            cfg["mode"] = int(argv[i + 1])
+            if cfg["mode"] == 2:
+                # cuBQL mode: wedge Newton sampling inside the parity raygen
+                cfg["sampler"] = "wedge"
+                cfg["raygen"] = "accel"
+            else:
+                cfg["sampler"] = "locator"
+            i += 1
         elif a == "--synthetic":
             s = argv[i + 1].split(":")
             cfg["synthetic"] = (int(s[0]), int(s[1]) if len(s) > 1 else 8); i += 1
@@ -194,11 +204,12 @@ def main(argv=None):
             frame["accum"], frame["fb"] = render_frame_accel(
                 cells, device["tf"], accel, lp, frame["accum"], frame["fb"],
                 width=W, height=H, accel_mode=cfg["accel_mode"],
-                sampler=cfg["sampler"], locator=locator)
+                sampler=cfg["sampler"], locator=locator, wedges=wedges)
         else:
             frame["accum"], frame["fb"] = render_frame_ae(
                 cells, device["tf"], lp, frame["accum"], frame["fb"],
-                width=W, height=H, sampler=cfg["sampler"], locator=locator)
+                width=W, height=H, sampler=cfg["sampler"], locator=locator,
+                wedges=wedges)
         return frame["fb"]
 
     pl.set_render_fn(render)

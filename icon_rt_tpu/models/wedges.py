@@ -34,11 +34,21 @@ from .locator import Locator
 F = np.float32
 
 
-class Wedges(NamedTuple):
-    verts: jnp.ndarray         # (W, 6, 3) f32
-    scalars: jnp.ndarray       # (W, 6) f32
-    cell_offset: jnp.ndarray   # (N,) i32: first wedge of each column
-    layer_pad: int             # static search-window width (>= 1)
+class Wedges:
+    """Pytree whose layer_pad (the static radial search-window width) is
+    aux data, so it stays a Python int under jit."""
+
+    def __init__(self, verts, scalars, cell_offset, layer_pad: int):
+        self.verts = verts              # (W, 6, 3) f32
+        self.scalars = scalars          # (W, 6) f32
+        self.cell_offset = cell_offset  # (N,) i32: first wedge per column
+        self.layer_pad = layer_pad      # static search-window width (>= 1)
+
+
+jax.tree_util.register_pytree_node(
+    Wedges,
+    lambda w: ((w.verts, w.scalars, w.cell_offset), w.layer_pad),
+    lambda pad, children: Wedges(*children, pad))
 
 
 def _bv(ds: ICDataset, h: np.ndarray) -> np.ndarray:

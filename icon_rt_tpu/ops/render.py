@@ -29,11 +29,15 @@ from .traverse import trace_dda3, trace_sdda
 from .woodcock import woodcock_track
 
 
-def make_sample_fn(cells: Cells, locator: Locator | None, sampler: str):
+def make_sample_fn(cells: Cells, locator: Locator | None, sampler: str,
+                   wedges=None):
     """Volume point-sampler dispatch (ref: deviceCode.cu:58-125).
 
     'brute'   — linear scan (reference's no-RT fallback)
-    'locator' — grid-of-lists query (replaces OptiX/cuBQL BVH queries)
+    'locator' — grid-of-lists query (replaces OptiX/cuBQL BVH queries);
+                the reference's user-geom and triangle modes both resolve
+                to this analytic column sampling
+    'wedge'   — UElems Newton prism inversion (the cuBQL mode)
     """
     if sampler == "brute":
         return lambda pos: sample_brute_force(cells, pos)
@@ -41,6 +45,11 @@ def make_sample_fn(cells: Cells, locator: Locator | None, sampler: str):
         if locator is None:
             raise ValueError("sampler='locator' needs a Locator")
         return lambda pos: sample_locator(cells, locator, pos)
+    if sampler == "wedge":
+        if locator is None or wedges is None:
+            raise ValueError("sampler='wedge' needs a Locator and Wedges")
+        from ..models.wedges import sample_wedges
+        return lambda pos: sample_wedges(cells, wedges, locator, pos)
     raise ValueError(f"unknown sampler {sampler!r}")
 
 
@@ -154,10 +163,10 @@ def _map_chunks(pixel_fn, xs, ys, chunk: int):
 def frame_pixels_ae(cells: Cells, tf: Transfunc, lp: LaunchParams,
                     xs, ys, width: int, height: int,
                     sampler: str = "brute", locator: Locator | None = None,
-                    chunk: int = DEFAULT_CHUNK):
+                    chunk: int = DEFAULT_CHUNK, wedges=None):
     """Vectorized AE raygen over arbitrary pixel index arrays.
     Returns (wrote (P,), color_alpha (P, 4))."""
-    sample_fn = make_sample_fn(cells, locator, sampler)
+    sample_fn = make_sample_fn(cells, locator, sampler, wedges)
     return _map_chunks(
         lambda x, y: _pixel_ae(sample_fn, cells, tf, lp, x, y, width, height),
         xs, ys, chunk)
@@ -167,7 +176,8 @@ def frame_pixels_ae(cells: Cells, tf: Transfunc, lp: LaunchParams,
                    donate_argnames=("accum", "fb"))
 def render_frame_ae(cells: Cells, tf: Transfunc, lp: LaunchParams,
                     accum, fb, *, width: int, height: int,
-                    sampler: str = "brute", locator: Locator | None = None):
+                    sampler: str = "brute", locator: Locator | None = None,
+                    wedges=None):
     """One progressive sample over the whole frame, global majorant = 1
     (reference raygen 'woodcockTrackingAE').
 
@@ -176,7 +186,7 @@ def render_frame_ae(cells: Cells, tf: Transfunc, lp: LaunchParams,
     """
     ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
     wrote, color_alpha = frame_pixels_ae(cells, tf, lp, xs, ys, width, height,
-                                         sampler, locator)
+                                         sampler, locator, wedges=wedges)
     return _finalize(wrote, color_alpha, accum, fb, lp.accum_id)
 
 
@@ -213,10 +223,10 @@ def frame_pixels_accel(cells: Cells, tf: Transfunc, accel, lp: LaunchParams,
                        xs, ys, width: int, height: int,
                        accel_mode: str = "sphere", sampler: str = "brute",
                        locator: Locator | None = None,
-                       chunk: int = DEFAULT_CHUNK):
+                       chunk: int = DEFAULT_CHUNK, wedges=None):
     """Vectorized accel raygen over arbitrary pixel index arrays.
     Returns (wrote (P,), color_alpha (P, 4))."""
-    sample_fn = make_sample_fn(cells, locator, sampler)
+    sample_fn = make_sample_fn(cells, locator, sampler, wedges)
     return _map_chunks(
         lambda x, y: _pixel_accel(sample_fn, cells, tf, accel, lp, x, y,
                                   width, height, accel_mode),
@@ -229,7 +239,7 @@ def frame_pixels_accel(cells: Cells, tf: Transfunc, accel, lp: LaunchParams,
 def render_frame_accel(cells: Cells, tf: Transfunc, accel, lp: LaunchParams,
                        accum, fb, *, width: int, height: int,
                        accel_mode: str = "sphere", sampler: str = "brute",
-                       locator: Locator | None = None):
+                       locator: Locator | None = None, wedges=None):
     """One progressive sample with per-cell majorants driven by a traversal
     (reference raygen 'woodcockTrackingWithAccel').
 
@@ -239,7 +249,7 @@ def render_frame_accel(cells: Cells, tf: Transfunc, accel, lp: LaunchParams,
     ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
     wrote, color_alpha = frame_pixels_accel(cells, tf, accel, lp, xs, ys,
                                             width, height, accel_mode,
-                                            sampler, locator)
+                                            sampler, locator, wedges=wedges)
     return _finalize(wrote, color_alpha, accum, fb, lp.accum_id)
 
 

@@ -1,0 +1,69 @@
+"""End-to-end CLI application tests (CPU, tiny frames)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+
+import icon_rt  # noqa: E402
+
+from icon_rt_tpu.data import icfile, synthetic  # noqa: E402
+from icon_rt_tpu.utils.png import read_png  # noqa: E402
+
+
+def _run(args):
+    rc = icon_rt.main(args)
+    assert rc == 0
+
+
+def test_app_synthetic_fast(tmp_path):
+    out = str(tmp_path / "fast")
+    _run(["--synthetic", "1:3", "--sample-limit", "3", "--size", "32", "32",
+          "-o", out])
+    img = read_png(out + ".png")
+    assert img.shape == (32, 32, 4)
+    assert (img[..., 3] > 0).any()
+
+
+def test_app_ic_file_roundtrip(tmp_path):
+    ds = synthetic.icosphere(subdivisions=1, num_layers=2)
+    ic = str(tmp_path / "scene.ic")
+    icfile.write_ic(ic, ds)
+    out = str(tmp_path / "scene")
+    _run([ic, "--sample-limit", "2", "--size", "24", "24", "-o", out,
+          "--num-cells", "40"])
+    assert os.path.exists(out + ".png")
+
+
+def test_app_accel_raygen(tmp_path):
+    out = str(tmp_path / "accel")
+    _run(["--synthetic", "1:2", "--sample-limit", "2", "--size", "16", "16",
+          "-o", out, "--raygen", "accel", "--accel-mode", "grid"])
+    img = read_png(out + ".png")
+    assert (img[..., 3] > 0).any()
+
+
+def test_app_cubql_mode(tmp_path):
+    """-mode 2 = wedge Newton sampling (reference cuBQL mode)."""
+    out = str(tmp_path / "cubql")
+    _run(["--synthetic", "1:2", "--sample-limit", "1", "--size", "12", "12",
+          "-o", out, "-mode", "2", "--accel-mode", "grid"])
+    assert os.path.exists(out + ".png")
+
+
+def test_app_xf_roundtrip(tmp_path):
+    """--xf load path: render with a custom transfer function."""
+    from icon_rt_tpu.pipeline.xf import save_xf
+    xf = str(tmp_path / "t.xf")
+    lut = np.tile(np.array([[1, 0, 0, 1.0]], np.float32), (8, 1))
+    save_xf(xf, 1.0, (0.0, 1.0), (0.0, 1.0), lut)
+    out = str(tmp_path / "red")
+    _run(["--synthetic", "1:2", "--sample-limit", "2", "--size", "24", "24",
+          "-o", out, "--xf", xf])
+    img = read_png(out + ".png")
+    cov = img[..., 3] > 0
+    assert cov.any()
+    # fully red, fully opaque TF -> covered pixels are red-ish
+    assert img[cov][:, 0].mean() > img[cov][:, 1].mean() + 50
