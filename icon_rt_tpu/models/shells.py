@@ -52,18 +52,21 @@ def build_radial_bands(ds: ICDataset, num_bands: int = 64) -> RadialBands:
     vr_hi = np.full(num_bands, -np.finfo(F).max, F)
     max_l = int(ds.num_layers.max()) if ds.num_cells else 0
     span = max(r_hi - r_lo, 1e-30)
+    from .accel import _rasterize   # native scatter-min/max, 1-D grid
     for L in range(max_l):
         sel = ds.num_layers > L
         h0 = ds.height[sel, L]
         h1 = ds.height[sel, L + 1]
-        v = ds.value[sel, L]
+        v = ds.value[sel, L].astype(F)
         b0 = np.clip(((h0 - r_lo) / span * num_bands).astype(np.int64), 0, num_bands - 1)
         b1 = np.clip(((h1 - r_lo) / span * num_bands).astype(np.int64), 0, num_bands - 1)
-        for b in range(num_bands):
-            m = (b0 <= b) & (b <= b1)
-            if m.any():
-                vr_lo[b] = min(vr_lo[b], v[m].min())
-                vr_hi[b] = max(vr_hi[b], v[m].max())
+        n = b0.shape[0]
+        lo_idx = np.zeros((n, 3), np.int64)
+        up_idx = np.zeros((n, 3), np.int64)
+        lo_idx[:, 0] = b0
+        up_idx[:, 0] = b1
+        _rasterize(vr_lo, vr_hi, lo_idx, up_idx, v, v,
+                   np.array([num_bands, 1, 1], np.int64))
     return RadialBands(
         edges=jnp.asarray(edges),
         value_ranges=jnp.asarray(np.stack([vr_lo, vr_hi], axis=1)),
