@@ -257,6 +257,28 @@ class Pipeline:
         print(f"Output: {out}")
         print(f"FPS: {1.0 / max(self.avg_t, 1e-8):.2f}")
 
+    # -- key events (ref: pipeline.cu:535-579) -------------------------------
+    def set_key_down_handler(self, fn: Callable):
+        """App key hook, called for keys the pipeline doesn't consume
+        (ref: pipeline.h setKeyDownHandler)."""
+        self.key_down_handler = fn
+
+    def handle_key(self, key: str, shift: bool = False):
+        """Built-in keys: Shift+C prints the camera as reproducible CLI
+        args (ref: pipeline.cu:543-562); Shift+T saves the transfer
+        function (ref: :563-568).  Everything else goes to the app hook."""
+        if shift and key.lower() == "c" and self.camera is not None:
+            print(self.camera_cli_string())
+            return True
+        if shift and key.lower() == "t" and self.transfunc is not None:
+            self.save_transfunc(f"{self.name}.xf")
+            print(f"Output: {self.name}.xf")
+            return True
+        handler = getattr(self, "key_down_handler", None)
+        if handler is not None:
+            return bool(handler(key, shift))
+        return False
+
     # -- state artifacts -----------------------------------------------------
     def save_transfunc(self, path: str) -> bool:
         """Shift+T parity (ref: pipeline.cu:563-568)."""

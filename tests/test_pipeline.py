@@ -122,3 +122,27 @@ def test_pipeline_save_transfunc(tmp_path):
     assert pl.save_transfunc(p)
     got = load_xf(p)
     assert got is not None and got[3].shape[0] == 300
+
+
+def test_pipeline_key_handlers(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    pl = Pipeline([], name="keys")
+    from icon_rt_tpu.ops.camera import Camera
+    cam = Camera()
+    cam.set_orientation([1, 2, 3], [0, 0, 0], [0, 0, 1], cam.fovy)
+    pl.set_camera(cam)
+    pl.set_transfunc(TransfuncState(
+        np.array([[1, 0, 0, 1], [0, 1, 0, 0]], np.float32)))
+    # Shift+C prints reproducible camera CLI args
+    assert pl.handle_key("c", shift=True)
+    out = capsys.readouterr().out
+    assert "--camera" in out and "-fovy" in out
+    # Shift+T writes <name>.xf
+    assert pl.handle_key("t", shift=True)
+    assert os.path.exists("keys.xf")
+    assert load_xf("keys.xf") is not None
+    # unconsumed keys go to the app hook
+    seen = []
+    pl.set_key_down_handler(lambda k, s: (seen.append((k, s)), True)[1])
+    assert pl.handle_key("x")
+    assert seen == [("x", False)]
