@@ -73,6 +73,9 @@ def parse_app_args(argv):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in argv or "-h" in argv:
+        print(__doc__)
+        return 0
     cfg = parse_app_args(argv)
 
     from icon_rt_tpu.utils.cache import enable_compilation_cache

@@ -40,7 +40,25 @@ from icon_rt_tpu.ops.order import inverse_order, pixel_order  # noqa: E402
 from icon_rt_tpu.ops.render import alloc_frame, make_launch_params  # noqa: E402
 
 
+def _install_watchdog():
+    """The TPU worker can wedge (see README gotchas); emit a diagnostic
+    JSON line instead of hanging forever if that happens mid-bench."""
+    import signal
+
+    def on_alarm(signum, frame):
+        print(json.dumps({
+            "metric": "Mray/s (BENCH WATCHDOG: TPU worker unresponsive; "
+                      "see README 'Hardware gotchas')",
+            "value": 0.0, "unit": "Mray/s", "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "540")))
+
+
 def main():
+    _install_watchdog()
     width, height = 1920, 1080
     subdiv = int(os.environ.get("BENCH_SUBDIV", "5"))  # 20*4^5 = 20,480 cells
     num_layers = 16
@@ -71,11 +89,15 @@ def main():
     inv = inverse_order(perm)
     perm = jnp.asarray(perm)
 
+    chunk = int(os.environ.get("BENCH_CHUNK", "4096"))
+    spr = int(os.environ.get("BENCH_SPR", "4"))
+
     def step(s, accum, fb):
         return render_frame_fast(cells, packed, locator, bands,
                                  lp._replace(accum_id=jnp.int32(s)),
                                  accum, fb, width=width, height=height,
-                                 pixel_perm=perm)
+                                 pixel_perm=perm, chunk=chunk,
+                                 steps_per_refresh=spr)
 
     accum, fb = step(0, accum, fb)
     cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
