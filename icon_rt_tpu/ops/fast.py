@@ -116,6 +116,7 @@ class _State(NamedTuple):
     seg_end: jnp.ndarray    # f32 current band segment exit
     seg_hi: jnp.ndarray     # f32 current shell segment end
     band: jnp.ndarray       # i32 current band
+    was_in: jnp.ndarray     # i32 seg_end crosses the INNER band edge
     m: jnp.ndarray          # f32 current majorant
     si: jnp.ndarray         # i32 shell segment index (0 or 1)
     pending: jnp.ndarray    # i32 sample at t awaits the outer refresh
@@ -232,8 +233,7 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
     adv = in_step & (overshoot | ~has_m)
     t_adv = s.seg_end
     at_seg_end = t_adv >= s.seg_hi
-    _, was_in = _band_exit(s.t, s.band, s.seg_hi, c.od, oo, edges)
-    band_n = s.band + jnp.where(was_in, -1, 1)
+    band_n = s.band + jnp.where(s.was_in != 0, -1, 1)
     to_seg1 = adv & at_seg_end & (s.si == 0) & (c.s1_hi > c.s1_lo)
     t_adv = jnp.where(to_seg1, c.s1_lo, t_adv)
     band_n = jnp.where(to_seg1, _band_of(_r_of(t_adv, c.od, oo), edges, nb),
@@ -241,7 +241,7 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
     shi_n = jnp.where(to_seg1, c.s1_hi, s.seg_hi)
     exhausted = at_seg_end & ~to_seg1
     band_n = jnp.clip(band_n, 0, nb - 1)
-    seg_end_n, _ = _band_exit(t_adv, band_n, shi_n, c.od, oo, edges)
+    seg_end_n, was_in_n = _band_exit(t_adv, band_n, shi_n, c.od, oo, edges)
     m_n = _select_band(majors, band_n)
 
     # -- sample classification ------------------------------------------------
@@ -266,6 +266,7 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
         seg_end=jnp.where(adv, seg_end_n, s.seg_end),
         seg_hi=jnp.where(to_seg1, shi_n, s.seg_hi),
         band=jnp.where(adv, band_n, s.band),
+        was_in=jnp.where(adv, was_in_n.astype(jnp.int32), s.was_in),
         m=jnp.where(adv, m_n, s.m),
         si=jnp.where(to_seg1, 1, s.si),
         pending=i32((s.pending != 0) | to_pending),
@@ -433,7 +434,7 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
     si0 = jnp.where(s0_bad, 1, 0).astype(jnp.int32)
 
     band0 = _band_of(_r_of(seg_lo, od, oo), edges, nb)
-    seg_end0, _ = _band_exit(seg_lo, band0, seg_hi, od, oo, edges)
+    seg_end0, was_in0 = _band_exit(seg_lo, band0, seg_hi, od, oo, edges)
     m0 = _select_band(majors, band0)
 
     consts = _Consts(dx=dx, dy=dy, dz=dz, od=od, s1_lo=s1_lo, s1_hi=s1_hi)
@@ -505,7 +506,8 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 
     zero_i = jnp.zeros(L, jnp.int32)
     init = _State(
-        t=seg_lo, seg_end=seg_end0, seg_hi=seg_hi, band=band0, m=m0, si=si0,
+        t=seg_lo, seg_end=seg_end0, seg_hi=seg_hi, band=band0,
+        was_in=was_in0.astype(jnp.int32), m=m0, si=si0,
         pending=zero_i,
         c_test=jnp.zeros((L, 16), F32),
         c_prof=jnp.full((L, PROF_W), jnp.float32(np.inf), F32),
