@@ -54,7 +54,9 @@ def _install_watchdog():
         os._exit(2)
 
     signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "540")))
+    # generous default: a COLD compile of the fused render loop through the
+    # remote-compile tunnel takes ~7-8 min; warm-cache runs finish in ~90 s
+    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "1500")))
 
 
 def main():
