@@ -130,6 +130,16 @@ def main(argv=None):
             vr = np.array([0.0, 1.0], np.float32)
         pl.set_transfunc(TransfuncState(DEFAULT_COLORS, tuple(vr)))
 
+    # value histogram for the TFE overlay (ref: alpha_editor.cpp:209-234)
+    if pl.tfe is not None and ds.num_cells:
+        mask = (np.arange(ds.value.shape[1])[None, :]
+                < ds.num_layers[:, None])
+        counts, _ = np.histogram(ds.value[mask], bins=64,
+                                 range=tuple(stats.data_range)
+                                 if stats.data_range[0] < stats.data_range[1]
+                                 else (0.0, 1.0))
+        pl.tfe.set_histogram(counts)
+
     # unit distance slider scaled to shell magnitude (ref: hostCode.cu:838-841)
     magnitude = np.floor(np.log10(stats.spherical_bounds_lo[0]))
     scale = 10.0 ** (magnitude - 3)

@@ -93,8 +93,9 @@ class Pipeline:
         self.avg_t = 0.0
         self._t_last = None
         self.camera: Optional[Camera] = None
-        self.transfunc: Optional[TransfuncState] = None
-        self.tfe: Optional[TFE] = None
+        self.transfuncs: list[Optional[TransfuncState]] = []
+        self.tfes: list[Optional[TFE]] = []
+        self.tf_index = 0  # active editor tab (ref: pipeline.cu:645-668)
         self.transfunc_update_handler: Optional[Callable] = None
         self.render_fn: Optional[Callable] = None
         self.present_fn: Optional[Callable] = None
@@ -108,7 +109,13 @@ class Pipeline:
             loaded = xfio.load_xf(self.xf_file)
             if loaded:
                 op, vr, rr, lut = loaded
-                self.transfunc = TransfuncState(lut, vr, op, rr)
+                self.transfuncs = [TransfuncState(lut, vr, op, rr)]
+                self.tfes = [None]
+                tfe = TFE()
+                tf0 = self.transfuncs[0]
+                tfe.init_from(tf0.opacity, tf0.value_range, tf0.rel_range,
+                              tf0.lut)
+                self.tfes[0] = tfe
 
     # -- CLI (ref: pipeline.cu:224-253) -------------------------------------
     def _parse_command_line(self, argv):
@@ -154,17 +161,33 @@ class Pipeline:
         elif self._cmdline_cam and "fovy" in self._cmdline_cam:
             cam.fovy = F(np.deg2rad(self._cmdline_cam["fovy"]))
 
-    def transfunc_valid(self) -> bool:
-        return self.transfunc is not None and self.transfunc.size > 0
+    @property
+    def transfunc(self) -> Optional[TransfuncState]:
+        return self.transfuncs[self.tf_index] if self.transfuncs else None
 
-    def set_transfunc(self, tf: TransfuncState):
-        self.transfunc = tf
+    @property
+    def tfe(self) -> Optional[TFE]:
+        return self.tfes[self.tf_index] if self.tfes else None
+
+    def transfunc_valid(self, index: int = 0) -> bool:
+        return (index < len(self.transfuncs)
+                and self.transfuncs[index] is not None
+                and self.transfuncs[index].size > 0)
+
+    def set_transfunc(self, tf: TransfuncState, index: int = 0):
+        """Install a transfer function at a slot; multiple slots surface as
+        editor tabs in the reference UI (ref: pipeline.cu:456-478,645-668)."""
+        while len(self.transfuncs) <= index:
+            self.transfuncs.append(None)
+            self.tfes.append(None)
+        self.transfuncs[index] = tf
         if tf.size < 300 and not self.interactive:
             tf.set_lut(resample_lut(tf.lut, 300))
-        self.tfe = TFE()
-        self.tfe.init_from(tf.opacity, tf.value_range, tf.rel_range, tf.lut)
+        tfe = TFE()
+        tfe.init_from(tf.opacity, tf.value_range, tf.rel_range, tf.lut)
+        self.tfes[index] = tfe
         if self.transfunc_update_handler:
-            self.transfunc_update_handler(tf, 0)
+            self.transfunc_update_handler(tf, index)
 
     def set_transfunc_update_handler(self, fn: Callable):
         self.transfunc_update_handler = fn
@@ -210,21 +233,23 @@ class Pipeline:
         return self.running
 
     def _harvest_tfe(self) -> bool:
-        """TFE dirty-flag harvest (ref: pipeline.cu:1013-1028)."""
-        if self.tfe is None or self.transfunc is None:
+        """TFE dirty-flag harvest of the ACTIVE tab
+        (ref: pipeline.cu:1013-1028)."""
+        tfe, tf = self.tfe, self.transfunc
+        if tfe is None or tf is None:
             return False
         reset = False
-        if self.tfe.lut_updated():
-            self.transfunc.set_lut(self.tfe.get_lut())
+        if tfe.lut_updated():
+            tf.set_lut(tfe.get_lut())
             reset = True
-        if self.tfe.range_updated():
-            self.transfunc.value_range = self.tfe.get_range()
+        if tfe.range_updated():
+            tf.value_range = tfe.get_range()
             reset = True
-        if self.tfe.scale_updated():
-            self.transfunc.opacity = self.tfe.get_opacity_scale()
+        if tfe.scale_updated():
+            tf.opacity = tfe.get_opacity_scale()
             reset = True
         if reset and self.transfunc_update_handler:
-            self.transfunc_update_handler(self.transfunc, 0)
+            self.transfunc_update_handler(tf, self.tf_index)
         return reset
 
     def launch(self):
@@ -233,8 +258,12 @@ class Pipeline:
         if not self._started:
             self._started = True
             self.running = True
-            if self.transfunc_update_handler and self.transfunc is not None:
-                self.transfunc_update_handler(self.transfunc, 0)
+            if self.transfunc_update_handler:
+                # fire once per slot so majorants exist before frame 0
+                # (ref: pipeline.cu:262-265)
+                for i, tf in enumerate(self.transfuncs):
+                    if tf is not None:
+                        self.transfunc_update_handler(tf, i)
         t0 = time.perf_counter()
         if self.frame_id < self.sample_limit:
             self._last_fb = self.render_fn(self.frame_id)

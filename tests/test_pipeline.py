@@ -146,3 +146,29 @@ def test_pipeline_key_handlers(tmp_path, capsys, monkeypatch):
     pl.set_key_down_handler(lambda k, s: (seen.append((k, s)), True)[1])
     assert pl.handle_key("x")
     assert seen == [("x", False)]
+
+
+def test_pipeline_multiple_transfuncs():
+    """Multiple TF slots with independent editor tabs
+    (ref: pipeline.cu:456-478, 645-668)."""
+    pl = Pipeline(["--sample-limit", "10"])
+    from icon_rt_tpu.ops.camera import Camera
+    pl.set_camera(Camera())
+    lut_a = np.tile(np.array([[1, 0, 0, 1.0]], np.float32), (4, 1))
+    lut_b = np.tile(np.array([[0, 0, 1, 0.5]], np.float32), (4, 1))
+    updates = []
+    pl.set_transfunc_update_handler(lambda tf, i: updates.append(i))
+    pl.set_transfunc(TransfuncState(lut_a), index=0)
+    pl.set_transfunc(TransfuncState(lut_b), index=1)
+    assert pl.transfunc_valid(0) and pl.transfunc_valid(1)
+    assert updates == [0, 1]
+    # editing the active tab only touches its own slot
+    pl.tf_index = 1
+    pl.tfe.set_opacity_scale(0.25)
+    pl.set_render_fn(lambda fid: np.zeros(1, np.uint32))
+    pl.launch()
+    assert pl.is_running()
+    assert pl.transfuncs[1].opacity == 0.25
+    assert pl.transfuncs[0].opacity == 1.0
+    assert pl.frame_id == 0  # edit reset accumulation
+    assert updates[-1] == 1
