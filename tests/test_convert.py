@@ -118,3 +118,46 @@ def test_convert_layer_split(tmp_path):
     # 40-level column would split (synthesized directly)
     ds = ci.convert(hgrid, hsurf, hhl, data, max_layers=2)
     assert np.all(ds.num_layers == 2)
+
+
+def test_netcdf_cdf2_64bit_offset(tmp_path):
+    """CDF-2 (64-bit offset) variant."""
+    p = str(tmp_path / "v2.nc")
+    f = scipy_io.netcdf_file(p, "w", version=2)
+    f.createDimension("cell", 6)
+    v = f.createVariable("HSURF", np.dtype(">f4"), ("cell",))
+    v[:] = np.arange(6, dtype=np.float32) * 3
+    f.close()
+    assert open(p, "rb").read(4)[3] == 2
+    ds = Dataset(p)
+    np.testing.assert_array_equal(ds["HSURF"], np.arange(6, dtype=np.float32) * 3)
+
+
+def test_convert_transposed_corner_layout(tmp_path):
+    """Some ICON grids store clat_vertices as (nv, cell); the converter
+    must handle both orientations."""
+    ncell = 5
+    rs = np.random.RandomState(1)
+    lat = np.deg2rad(rs.uniform(-60, 60, (3, ncell))).astype(np.float32)
+    lon = np.deg2rad(rs.uniform(-170, 170, (3, ncell))).astype(np.float32)
+    hgrid = str(tmp_path / "gridT.nc")
+    _write_nc(hgrid, {"nv": 3, "cell": ncell},
+              {"clat_vertices": (("nv", "cell"), lat),
+               "clon_vertices": (("nv", "cell"), lon)})
+    hsurf = str(tmp_path / "hs.nc")
+    _write_nc(hsurf, {"cell": ncell},
+              {"HSURF": (("cell",), np.zeros(ncell, np.float32))})
+    hhl, data = [], []
+    for k in range(3):
+        p = str(tmp_path / f"h{k}.nc")
+        _write_nc(p, {"cell": ncell},
+                  {"HHL": (("cell",), np.full(ncell, 1000.0 * (k + 1), np.float32))})
+        hhl.append(p)
+    for k in range(2):
+        p = str(tmp_path / f"d{k}.nc")
+        _write_nc(p, {"cell": ncell},
+                  {"pres": (("cell",), rs.rand(ncell).astype(np.float32))})
+        data.append(p)
+    ds = ci.convert(hgrid, hsurf, hhl, data)
+    assert ds.num_cells == ncell
+    np.testing.assert_allclose(ds.lat, lat.T, rtol=1e-6)
