@@ -205,13 +205,16 @@ def main(argv=None):
         if raygen == "fast":
             if frame["perm"] is None or frame_id == 0:
                 # re-sort rays by expected cost on camera change
-                p = pixel_order(lp, stats.spherical_bounds_lo[0],
-                                stats.spherical_bounds_hi[0], W, H)
+                from icon_rt_tpu.ops.order import bucket_active
+                p, n_cov = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                       stats.spherical_bounds_hi[0], W, H)
                 frame["inv"] = inverse_order(p)
                 frame["perm"] = jnp.asarray(p)
+                frame["n_active"] = bucket_active(n_cov, 4096, W * H)
             frame["accum"], frame["fb"] = render_frame_fast(
                 cells, packed, locator, bands, lp, frame["accum"], frame["fb"],
-                width=W, height=H, pixel_perm=frame["perm"])
+                width=W, height=H, pixel_perm=frame["perm"],
+                n_active=frame["n_active"])
         elif raygen == "accel" and state["accel_active"]:
             accel = shell if cfg["accel_mode"] == "sphere" else grid
             frame["accum"], frame["fb"] = render_frame_accel(

@@ -86,8 +86,8 @@ def main():
                             stats.world_bounds_hi, unit_distance=unit_distance)
 
     accum, fb = alloc_frame(width, height)
-    perm = pixel_order(lp, stats.spherical_bounds_lo[0],
-                       stats.spherical_bounds_hi[0], width, height)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], width, height)
     inv = inverse_order(perm)
     perm = jnp.asarray(perm)
 
@@ -98,8 +98,8 @@ def main():
         return render_frame_fast(cells, packed, locator, bands,
                                  lp._replace(accum_id=jnp.int32(s)),
                                  accum, fb, width=width, height=height,
-                                 pixel_perm=perm, chunk=chunk,
-                                 steps_per_refresh=spr)
+                                 pixel_perm=perm, n_active=n_active,
+                                 chunk=chunk, steps_per_refresh=spr)
 
     accum, fb = step(0, accum, fb)
     cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync

@@ -529,12 +529,14 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
-                                    "chunk", "use_pallas", "pallas_interpret"),
+                                    "chunk", "use_pallas", "pallas_interpret",
+                                    "n_active"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
                       width: int, height: int, steps_per_refresh: int = 4,
                       chunk: int = 4096, pixel_perm=None,
+                      n_active: int | None = None,
                       use_pallas: bool = False,
                       pallas_interpret: bool = False):
     """Full-frame progressive step on the fast path (drop-in peer of
@@ -544,6 +546,13 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     when given, lane i renders pixel pixel_perm[i] and accum/fb are in
     PERMUTED order — unpermute with perm at present time.  Sorting by ray
     cost raises wavefront lane utilization several-fold.
+
+    n_active: optional count of covered positions (ops/order.pixel_order's
+    second return; requires pixel_perm).  Only the covered prefix is
+    traced — the tail's rays can never write (the reference returns
+    without writing on a bounds miss, deviceCode.cu:294), so skipping the
+    all-background chunks is exact.  Each distinct rounded value compiles
+    once; bucket it (order.bucket_active) for moving cameras.
     """
     from .render import _finalize  # local import to avoid cycle
 
@@ -551,6 +560,11 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     pix = jnp.arange(total, dtype=jnp.int32)
     if pixel_perm is not None:
         pix = pixel_perm
+    if n_active is not None and pixel_perm is not None:
+        n_proc = min(total, -(-max(n_active, 1) // chunk) * chunk)
+    else:
+        n_proc = total
+    pix = pix[:n_proc]
     ys_all, xs_all = jnp.divmod(pix, width)
 
     def run(xs, ys):
@@ -559,17 +573,22 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                            use_pallas=use_pallas,
                            pallas_interpret=pallas_interpret)
 
-    if total <= chunk:
+    if n_proc <= chunk:
         wrote, ca = run(xs_all, ys_all)
     else:
-        n = -(-total // chunk)
-        pad = n * chunk - total
+        n = -(-n_proc // chunk)
+        pad = n * chunk - n_proc
         if pad:
             xs_all = jnp.concatenate([xs_all, jnp.zeros(pad, jnp.int32)])
             ys_all = jnp.concatenate([ys_all, jnp.zeros(pad, jnp.int32)])
         wrote, ca = jax.lax.map(
             lambda c: run(c[0], c[1]),
             (xs_all.reshape(n, chunk), ys_all.reshape(n, chunk)))
-        wrote = wrote.reshape(-1)[:total]
-        ca = ca.reshape(-1, 4)[:total]
-    return _finalize(wrote, ca, accum, fb, lp.accum_id)
+        wrote = wrote.reshape(-1)[:n_proc]
+        ca = ca.reshape(-1, 4)[:n_proc]
+    accum_head, fb_head = _finalize(wrote, ca, accum[:n_proc], fb[:n_proc],
+                                    lp.accum_id)
+    if n_proc == total:
+        return accum_head, fb_head
+    return (jnp.concatenate([accum_head, accum[n_proc:]]),
+            jnp.concatenate([fb_head, fb[n_proc:]]))

@@ -39,22 +39,60 @@ def _chord_keys(cam_org, cam_dir00, cam_du, cam_dv, r_in, r_out, xs, ys):
 
     hit_o, c_o = chord(r_out)
     hit_i, c_i = chord(r_in)
-    # in-shell path length of the central ray; misses sort to the front
-    # (they all terminate immediately and pack into all-idle chunks)
-    length = jnp.where(hit_o, c_o - jnp.where(hit_i, c_i, 0.0), -1.0)
+
+    # conservative coverage: a jittered ray lands up to ~1.5 pixels from
+    # the center, so classify against the outer radius inflated by a few
+    # pixel footprints at the closest-approach distance
+    pix = jnp.sqrt(cam_du[0] ** 2 + cam_du[1] ** 2 + cam_du[2] ** 2) \
+        + jnp.sqrt(cam_dv[0] ** 2 + cam_dv[1] ** 2 + cam_dv[2] ** 2)
+    margin = 4.0 * pix * jnp.abs(od)
+    disc_m = od * od - oo + (r_out + margin) ** 2
+    covered = (disc_m > 0.0) & (-od + jnp.sqrt(jnp.maximum(disc_m, 0.0)) > 0.0)
+
+    # in-shell path length of the central ray; misses sort to the BACK
+    # (so the covered pixels form a prefix that can be rendered alone)
+    length = jnp.where(covered, jnp.where(hit_o, c_o - jnp.where(hit_i, c_i, 0.0),
+                                          0.0),
+                       jnp.float32(np.inf))
     return length
 
 
-def pixel_order(lp, r_in, r_out, width: int, height: int) -> np.ndarray:
-    """Permutation of pixel ids sorted by expected ray cost (host int32)."""
+def pixel_order(lp, r_in, r_out, width: int, height: int
+                ) -> tuple[np.ndarray, int]:
+    """(permutation of pixel ids sorted by expected ray cost, n_covered).
+
+    Covered pixels (central ray hits the outer shell) come first, cheapest
+    to costliest; misses trail.  Rendering only the first n_covered
+    positions skips every all-background chunk — those rays never write
+    (the reference's early return, deviceCode.cu:294) so the tail's
+    accum/fb stay untouched either way.  The count is conservative only up
+    to jitter: rays within a pixel of the silhouette are classified by the
+    unjittered center, matching the reference's per-pixel boxTest granularity.
+    """
     total = width * height
     ys, xs = jnp.divmod(jnp.arange(total, dtype=jnp.int32), width)
     keys = _chord_keys(lp.cam_org, lp.cam_dir00, lp.cam_du, lp.cam_dv,
                        jnp.float32(r_in), jnp.float32(r_out), xs, ys)
-    return np.asarray(jnp.argsort(keys)).astype(np.int32)
+    keys = np.asarray(keys)
+    perm = np.argsort(keys, kind="stable").astype(np.int32)
+    n_covered = int(np.isfinite(keys).sum())
+    return perm, n_covered
 
 
 def inverse_order(perm: np.ndarray) -> np.ndarray:
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
     return inv
+
+
+def bucket_active(n_active: int, chunk: int, total: int) -> int:
+    """Round the active count up to a power-of-two number of chunks so a
+    moving camera cycles through O(log) compiled variants instead of one
+    per frame."""
+    if n_active >= total:
+        return total
+    chunks = max(1, -(-n_active // chunk))
+    p = 1
+    while p < chunks:
+        p *= 2
+    return min(total, p * chunk)

@@ -33,10 +33,11 @@ def test_permuted_render_matches_unsorted():
     lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
                             stats.world_bounds_hi, unit_distance=5.0)
 
-    perm = pixel_order(lp, stats.spherical_bounds_lo[0],
-                       stats.spherical_bounds_hi[0], W, H)
+    perm, n_cov = pixel_order(lp, stats.spherical_bounds_lo[0],
+                              stats.spherical_bounds_hi[0], W, H)
     inv = inverse_order(perm)
     assert sorted(perm.tolist()) == list(range(W * H))
+    assert 0 < n_cov <= W * H
 
     a0, f0 = render_frame_fast(cells, packed, loc, bands, lp,
                                *alloc_frame(W, H), width=W, height=H)
@@ -45,3 +46,18 @@ def test_permuted_render_matches_unsorted():
                                pixel_perm=jnp.asarray(perm))
     np.testing.assert_array_equal(np.asarray(f1)[inv], np.asarray(f0))
     np.testing.assert_array_equal(np.asarray(a1)[inv], np.asarray(a0))
+
+    # active-prefix truncation must be EXACT (conservative coverage)
+    a2, f2 = render_frame_fast(cells, packed, loc, bands, lp,
+                               *alloc_frame(W, H), width=W, height=H,
+                               pixel_perm=jnp.asarray(perm), n_active=n_cov)
+    np.testing.assert_array_equal(np.asarray(f2)[inv], np.asarray(f0))
+    np.testing.assert_array_equal(np.asarray(a2)[inv], np.asarray(a0))
+
+
+def test_bucket_active():
+    from icon_rt_tpu.ops.order import bucket_active
+    assert bucket_active(1, 4096, 100 * 4096) == 4096
+    assert bucket_active(5000, 4096, 100 * 4096) == 2 * 4096
+    assert bucket_active(9000, 4096, 100 * 4096) == 4 * 4096
+    assert bucket_active(10 ** 9, 4096, 100 * 4096) == 100 * 4096
