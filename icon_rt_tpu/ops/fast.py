@@ -126,10 +126,7 @@ class _State(NamedTuple):
     in_eval: jnp.ndarray    # i32 lane is in EVAL phase
     c_valid: jnp.ndarray    # i32 cache holds some real column
     rng: jnp.ndarray        # u32
-    cr: jnp.ndarray
-    cg: jnp.ndarray
-    cb: jnp.ndarray
-    alpha: jnp.ndarray
+    alpha: jnp.ndarray      # f32 accepted sample's classified alpha (0 = none)
     done: jnp.ndarray       # i32
 
 
@@ -169,6 +166,17 @@ def _classified_at(prof, r):
     return rr, gg, bb, aa
 
 
+def _alpha_at(prof, r):
+    """Classified ALPHA only (the per-step need); RGB of an accepted sample
+    is recovered once after the loop from the frozen (c_prof, t) state."""
+    ml = MAX_LAYERS
+    hh = prof[:, :ml]
+    layer = jnp.sum((r[:, None] > hh).astype(jnp.int32), axis=1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (hh.shape[0], ml), 1)
+    oh = (ids == layer[:, None]).astype(F32)
+    return jnp.sum(oh * prof[:, 4 * ml:5 * ml], axis=1)
+
+
 def _select_band(arr, b):
     """One-hot select arr[b] without a gather; arr (B,), b (L,) i32."""
     ids = jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], arr.shape[0]), 1)
@@ -176,12 +184,22 @@ def _select_band(arr, b):
     return jnp.sum(oh * arr[None, :], axis=1)
 
 
-def _band_exit(t, b, shi, od, oo, edges):
-    """Closed-form t where the ray leaves band b, capped at shi.
-    Returns (t_exit, crossed_inner_edge)."""
+def _band_data(b, edges, majors):
+    """(inner radius, outer radius, majorant) of band b via ONE shared
+    one-hot (three separate selects would triple the per-step fma count)."""
+    nb = majors.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], nb), 1)
+    oh = (ids == b[:, None]).astype(F32)
+    r_lo = jnp.sum(oh * edges[None, :nb], axis=1)
+    r_hi = jnp.sum(oh * edges[None, 1:nb + 1], axis=1)
+    m = jnp.sum(oh * majors[None, :], axis=1)
+    return r_lo, r_hi, m
+
+
+def _band_exit_from(t, r_lo_b, r_hi_b, shi, od, oo):
+    """Closed-form t where the ray leaves the band with the given edge
+    radii, capped at shi.  Returns (t_exit, crossed_inner_edge)."""
     t_star = -od
-    r_lo_b = _select_band(edges, b)
-    r_hi_b = _select_band(edges, b + 1)
     disc_in = od * od - oo + r_lo_b * r_lo_b
     t_in = -od - jnp.sqrt(jnp.maximum(disc_in, 0.0))
     disc_out = od * od - oo + r_hi_b * r_hi_b
@@ -189,6 +207,14 @@ def _band_exit(t, b, shi, od, oo, edges):
     inward = t < t_star
     use_in = inward & (disc_in > 0.0) & (t_in > t)
     return jnp.minimum(jnp.where(use_in, t_in, t_out), shi), use_in
+
+
+def _band_exit(t, b, shi, od, oo, edges):
+    """Band exit looked up by band index (init-time convenience)."""
+    nb = edges.shape[0] - 1
+    r_lo_b = _select_band(edges[:nb], b)
+    r_hi_b = _select_band(edges[1:], b)
+    return _band_exit_from(t, r_lo_b, r_hi_b, shi, od, oo)
 
 
 def _r_of(t, od, oo):
@@ -241,8 +267,9 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
     shi_n = jnp.where(to_seg1, c.s1_hi, s.seg_hi)
     exhausted = at_seg_end & ~to_seg1
     band_n = jnp.clip(band_n, 0, nb - 1)
-    seg_end_n, was_in_n = _band_exit(t_adv, band_n, shi_n, c.od, oo, edges)
-    m_n = _select_band(majors, band_n)
+    r_lo_n, r_hi_n, m_n = _band_data(band_n, edges, majors)
+    seg_end_n, was_in_n = _band_exit_from(t_adv, r_lo_n, r_hi_n, shi_n,
+                                          c.od, oo)
 
     # -- sample classification ------------------------------------------------
     samp_new = stepped & ~overshoot
@@ -254,7 +281,7 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
         & _point_in_test_row(s.c_test, px, py, pz, r)
     to_pending = samp_new & ~in_cache
     hit_vol = in_cache | (in_eval & (s.c_hit != 0))
-    rr, gg, bb, aa = _classified_at(s.c_prof, r)
+    aa = _alpha_at(s.c_prof, r)
     rng2, uu = lcg_next(rng_a)
     rng_b = jnp.where(hit_vol, rng2, rng_a)
     accept = hit_vol & (aa >= uu * s.m)
@@ -275,10 +302,7 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
         in_eval=i32((~in_eval) & ((s.in_eval != 0) | to_pending)),
         c_valid=s.c_valid,
         rng=rng_b,
-        cr=jnp.where(accept, rr, s.cr),
-        cg=jnp.where(accept, gg, s.cg),
-        cb=jnp.where(accept, bb, s.cb),
-        alpha=jnp.where(accept, jnp.where(aa > 0.0, 1.0, 0.0), s.alpha),
+        alpha=jnp.where(accept, aa, s.alpha),
         done=i32(done_n),
     )
 
@@ -513,17 +537,25 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         c_prof=jnp.full((L, PROF_W), jnp.float32(np.inf), F32),
         c_hit=zero_i, in_eval=zero_i, c_valid=zero_i,
         rng=rng,
-        cr=jnp.zeros(L, F32), cg=jnp.zeros(L, F32), cb=jnp.zeros(L, F32),
         alpha=jnp.zeros(L, F32),
         done=(~(wrote & (seg_hi > seg_lo))).astype(jnp.int32),
     )
     out, _ = jax.lax.while_loop(outer_cond, outer_body, (init, jnp.int32(0)))
 
+    # recover the accepted sample's RGB once, from the frozen state: an
+    # accepting lane sets done with t at the collision and its cache still
+    # holding the collided column
+    got = out.alpha > 0.0
+    rr, gg, bb, _ = _classified_at(out.c_prof, _r_of(out.t, od, oo))
     amb_r = lp.ambient_color[0] * lp.ambient_radiance
     amb_g = lp.ambient_color[1] * lp.ambient_radiance
     amb_b = lp.ambient_color[2] * lp.ambient_radiance
+    zero = jnp.zeros_like(out.t)
     color_alpha = jnp.stack(
-        [out.cr * amb_r, out.cg * amb_g, out.cb * amb_b, out.alpha], axis=-1)
+        [jnp.where(got, rr * amb_r, zero),
+         jnp.where(got, gg * amb_g, zero),
+         jnp.where(got, bb * amb_b, zero),
+         jnp.where(got, 1.0, 0.0)], axis=-1)
     return wrote, color_alpha
 
 
