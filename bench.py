@@ -92,7 +92,7 @@ def main():
     perm = jnp.asarray(perm)
 
     chunk = int(os.environ.get("BENCH_CHUNK", "4096"))
-    spr = int(os.environ.get("BENCH_SPR", "4"))
+    spr = int(os.environ.get("BENCH_SPR", "8"))
 
     def step(s, accum, fb):
         return render_frame_fast(cells, packed, locator, bands,

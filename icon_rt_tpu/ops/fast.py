@@ -397,7 +397,7 @@ def _pallas_inner(state: _State, consts: _Consts, edges, majors, org, oo,
 
 def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 bands: RadialBands, lp, xs, ys, width: int, height: int,
-                steps_per_refresh: int = 4, max_outer: int = 16384,
+                steps_per_refresh: int = 8, max_outer: int = 16384,
                 use_pallas: bool = False, pallas_interpret: bool = False):
     """One progressive sample for a batch of pixels.
 
@@ -566,7 +566,7 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
-                      width: int, height: int, steps_per_refresh: int = 4,
+                      width: int, height: int, steps_per_refresh: int = 8,
                       chunk: int = 4096, pixel_perm=None,
                       n_active: int | None = None,
                       use_pallas: bool = False,
