@@ -86,17 +86,34 @@ def pack_test_rows(cells: Cells) -> jnp.ndarray:
 def pack_profile_rows(cells: Cells, tf: Transfunc) -> jnp.ndarray:
     """Bake heights + classified per-layer RGBA.  Re-run on TF edits (the
     fast-path analog of the reference's computeMaxOpacities TF-edit hook,
-    ref: hostCode.cu:878-909)."""
+    ref: hostCode.cu:878-909).
+
+    Classification is computed per CHANNEL over (N, 32) arrays — a vmapped
+    (N, 32, 4) intermediate pads its trailing dim to 128 lanes on TPU and
+    blows HBM at R2B8+ scale (21 GB for 1.3M cells)."""
     n = cells.num_cells
     heights_hi = jnp.concatenate(
         [cells.height[:, 1:], cells.height[:, -1:]], axis=1)  # (N, 32)
     k = jnp.arange(1, MAX_LAYERS + 1)
     valid = k[None, :] <= cells.num_layers[:, None]
     heights_hi = jnp.where(valid, heights_hi, jnp.float32(np.inf))
-    rgba = jax.vmap(jax.vmap(lambda v: post_classify(tf, v)))(cells.value)
-    planar = jnp.concatenate([rgba[:, :, 0], rgba[:, :, 1],
-                              rgba[:, :, 2], rgba[:, :, 3]], axis=1)
-    return jnp.concatenate([heights_hi, planar], axis=1)
+
+    # postClassify arithmetic (ref: deviceCode.cu:127-135), channel-planar
+    size = tf.size
+    v = cells.value                                    # (N, 32)
+    vn = (v - tf.value_range[0]) / (tf.value_range[1] - tf.value_range[0])
+    vs = vn * jnp.float32(size)
+    idx = vs.astype(jnp.int32)                         # trunc toward zero
+    frac = vs - idx.astype(jnp.float32)
+    i1 = jnp.clip(idx, 0, size - 1)
+    i2 = jnp.clip(idx + 1, 0, size - 1)
+    chans = []
+    for c in range(4):
+        lut_c = tf.values[:, c]
+        scale = jnp.where(c == 3, tf.opacity_scale.astype(jnp.float32),
+                          jnp.float32(1.0))
+        chans.append(lut_c[i1] * frac + lut_c[i2] * (1.0 - frac) * scale)
+    return jnp.concatenate([heights_hi] + chans, axis=1)
 
 
 def pack_cells(cells: Cells, tf: Transfunc) -> PackedCells:
