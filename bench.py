@@ -7,12 +7,18 @@ Prints ONE JSON line:
 The reference publishes no numbers (BASELINE.md); vs_baseline is measured
 against the driver's north star of 1 Gray/s per chip (= 1000 Mray/s).
 
-Configuration: global icosahedral field at 1920x1080 on the fast TPU-native
-raygen (radial-band Woodcock tracking + column-resident sampling,
-ops/fast.py), progressive accumulation, reference-default unit distance
-(10^(floor(log10(r))-3), ref: hostCode.cu:838-840).  Timing is validated by
-materializing the framebuffer to the host after the timed loop (a crashed
-TPU worker otherwise returns instantly and silently).
+Round-2 honesty rules (VERDICT round 1, weak #2): the headline row uses a
+CLOSEUP camera whose globe covers >= 0.5 of the 1920x1080 frame, at the
+largest scale that fits the chip, and the metric string carries one row
+per scale (R2B4/R2B7/R2B8/...) plus a reference-default `view_all` framing
+row (ref: hostCode.cu:819-821 -- note view_all at 16:9 covers only ~4% of
+the frame, which is why it is not the headline).  Both FULL-FRAME Mray/s
+(all W*H pixels / wall time, the north-star denomination) and TRACED
+Mray/s (rays actually entering the tracking loop after the covered-prefix
+skip) are reported.
+
+Timing is validated by materializing the framebuffer to the host after the
+timed loop (a crashed TPU worker otherwise returns instantly and silently).
 """
 import json
 import os
@@ -39,6 +45,8 @@ from icon_rt_tpu.ops.fast import pack_cells, render_frame_fast  # noqa: E402
 from icon_rt_tpu.ops.order import inverse_order, pixel_order  # noqa: E402
 from icon_rt_tpu.ops.render import alloc_frame, make_launch_params  # noqa: E402
 
+WIDTH, HEIGHT = 1920, 1080
+
 
 def _install_watchdog():
     """The TPU worker can wedge (see README gotchas); emit a diagnostic
@@ -54,18 +62,13 @@ def _install_watchdog():
         os._exit(2)
 
     signal.signal(signal.SIGALRM, on_alarm)
-    # generous default: a COLD compile of the fused render loop through the
-    # remote-compile tunnel takes ~7-8 min; warm-cache runs finish in ~90 s
-    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "1500")))
+    # generous default: COLD compiles of the fused render loop through the
+    # remote-compile tunnel take ~7-8 min EACH and this harness runs
+    # several scales; warm-cache full runs finish in a few minutes
+    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "3300")))
 
 
-def main():
-    _install_watchdog()
-    width, height = 1920, 1080
-    subdiv = int(os.environ.get("BENCH_SUBDIV", "5"))  # 20*4^5 = 20,480 cells
-    num_layers = 16
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
-
+def _build_scene(subdiv: int, num_layers: int):
     ds = synthetic.icosphere(subdivisions=subdiv, num_layers=num_layers)
     stats = compute_stats(ds)
     cells = build_cells(ds)
@@ -74,30 +77,51 @@ def main():
     bands = update_band_majorants(build_radial_bands(ds, 64),
                                   tf.values, tf.value_range)
     packed = pack_cells(cells, tf)
+    return ds, stats, cells, locator, tf, bands, packed
 
+
+def _camera(stats, framing: str) -> Camera:
     cam = Camera()
-    cam.set_aspect(width / height)
+    cam.set_aspect(WIDTH / HEIGHT)
     center = 0.5 * (stats.world_bounds_lo + stats.world_bounds_hi)
-    r = stats.spherical_bounds_hi[0]
-    cam.set_orientation(center + np.array([2.2 * r, 0.4 * r, 0.9 * r], np.float32),
-                        center, np.array([0, 0, 1], np.float32), cam.fovy)
-    unit_distance = 10.0 ** (np.floor(np.log10(stats.spherical_bounds_lo[0])) - 3)
-    lp = make_launch_params(cam.basis(width, height), stats.world_bounds_lo,
-                            stats.world_bounds_hi, unit_distance=unit_distance)
+    r_out = float(stats.spherical_bounds_hi[0])
+    if framing == "viewall":
+        # the reference's default framing (ref: hostCode.cu:819-821)
+        cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    else:
+        # closeup: globe slightly overfills the frame vertically ->
+        # ~0.55 pixel coverage at 16:9 (the honest headline framing)
+        theta = np.arctan(1.15 * np.tan(0.5 * cam.fovy))
+        d = r_out / np.sin(theta)
+        direction = np.array([2.2, 0.4, 0.9], np.float32)
+        direction /= np.linalg.norm(direction)
+        cam.set_orientation(center + direction * d, center,
+                            np.array([0, 0, 1], np.float32), cam.fovy)
+    return cam
 
-    accum, fb = alloc_frame(width, height)
+
+def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
+              chunk: int, spr: int) -> dict:
+    ds, stats, cells, locator, tf, bands, packed = _build_scene(
+        subdiv, num_layers)
+    cam = _camera(stats, framing)
+    unit_distance = 10.0 ** (np.floor(
+        np.log10(stats.spherical_bounds_lo[0])) - 3)
+    lp = make_launch_params(cam.basis(WIDTH, HEIGHT), stats.world_bounds_lo,
+                            stats.world_bounds_hi,
+                            unit_distance=unit_distance)
+    accum, fb = alloc_frame(WIDTH, HEIGHT)
     perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
-                                 stats.spherical_bounds_hi[0], width, height)
+                                 stats.spherical_bounds_hi[0], WIDTH, HEIGHT)
     inv = inverse_order(perm)
     perm = jnp.asarray(perm)
-
-    chunk = int(os.environ.get("BENCH_CHUNK", "4096"))
-    spr = int(os.environ.get("BENCH_SPR", "8"))
+    total = WIDTH * HEIGHT
+    n_traced = min(total, -(-max(n_active, 1) // chunk) * chunk)
 
     def step(s, accum, fb):
         return render_frame_fast(cells, packed, locator, bands,
                                  lp._replace(accum_id=jnp.int32(s)),
-                                 accum, fb, width=width, height=height,
+                                 accum, fb, width=WIDTH, height=HEIGHT,
                                  pixel_perm=perm, n_active=n_active,
                                  chunk=chunk, steps_per_refresh=spr)
 
@@ -110,17 +134,51 @@ def main():
     cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
     dt = time.perf_counter() - t0
 
-    rays = width * height * iters
-    mray_s = rays / dt / 1e6
-    fps = iters / dt
+    return {
+        "cells": int(ds.num_cells),
+        "framing": framing,
+        "coverage": round(cov, 3),
+        "mray_full": round(total * iters / dt / 1e6, 2),
+        "mray_traced": round(n_traced * iters / dt / 1e6, 2),
+        "fps": round(iters / dt, 2),
+    }
+
+
+# (name, icosphere subdiv, layers, timed iters, framing)
+ALL_ROWS = [
+    ("r2b4_closeup", 5, 16, 8, "closeup"),   # 20,480 cells
+    ("r2b4_viewall", 5, 16, 8, "viewall"),   # reference-default framing
+    ("r2b7_closeup", 7, 16, 4, "closeup"),   # 327,680 cells
+    ("r2b8_closeup", 8, 16, 4, "closeup"),   # 1,310,720 cells
+]
+HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b8_closeup")
+
+
+def main():
+    _install_watchdog()
+    chunk = int(os.environ.get("BENCH_CHUNK", "4096"))
+    spr = int(os.environ.get("BENCH_SPR", "8"))
+    only = os.environ.get("BENCH_ROWS")  # comma-separated row names
+    rows = [r for r in ALL_ROWS if only is None or r[0] in only.split(",")]
+
+    results = {}
+    for name, subdiv, layers, iters, framing in rows:
+        results[name] = bench_row(subdiv, layers, iters, framing, chunk, spr)
+        print(f"# {name}: {results[name]}", file=sys.stderr, flush=True)
+
+    head = results.get(HEADLINE) or results[rows[-1][0]]
+    desc = "; ".join(
+        f"{name}[{r['cells']}c,{r['framing']},cov={r['coverage']}]: "
+        f"{r['mray_full']} full / {r['mray_traced']} traced Mray/s, "
+        f"{r['fps']} fps"
+        for name, r in results.items())
     print(json.dumps({
-        "metric": f"Mray/s, {width}x{height} fast raygen (radial-band Woodcock"
-                  f" + column cache), {ds.num_cells} cells x {num_layers}"
-                  f" layers, unit_distance={unit_distance:g}, coverage="
-                  f"{cov:.3f}, fps={fps:.2f}",
-        "value": round(mray_s, 2),
+        "metric": f"Mray/s full-frame, {WIDTH}x{HEIGHT} fast raygen "
+                  f"(radial-band Woodcock + column cache), headline="
+                  f"{HEADLINE}; {desc}",
+        "value": head["mray_full"],
         "unit": "Mray/s",
-        "vs_baseline": round(mray_s / 1000.0, 4),
+        "vs_baseline": round(head["mray_full"] / 1000.0, 4),
     }))
 
 

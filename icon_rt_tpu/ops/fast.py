@@ -412,28 +412,9 @@ def _pallas_inner(state: _State, consts: _Consts, edges, majors, org, oo,
 # The render kernel
 # ===========================================================================
 
-def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
-                bands: RadialBands, lp, xs, ys, width: int, height: int,
-                steps_per_refresh: int = 8, max_outer: int = 16384,
-                use_pallas: bool = False, pallas_interpret: bool = False):
-    """One progressive sample for a batch of pixels.
-
-    lp: ops.render.LaunchParams.  xs, ys: (L,) i32 pixel coords.
-    Returns (wrote (L,) bool, color_alpha (L, 4) f32).
-    """
-    L = xs.shape[0]
-    nb = bands.num_bands
-    edges = bands.edges                      # (B+1,)
-    majors = bands.max_opacities             # (B,)
-    r_in = edges[0]
-    r_out = edges[-1]
-
-    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
-    oo = ox * ox + oy * oy + oz * oz         # scalar
-    org = (ox, oy, oz)
-    ud = lp.unit_distance
-
-    # --- raygen (SoA), ref: deviceCode.cu:36-49 semantics -----------------
+def _raygen_soa(lp, xs, ys, width, height):
+    """Jittered pinhole rays as SoA scalars (ref: deviceCode.cu:36-49
+    semantics).  Returns (dx, dy, dz, od, rng)."""
     seed0 = (lp.accum_id.astype(jnp.uint32) * jnp.uint32(width * height)
              + xs.astype(jnp.uint32))
     rng = lcg_init(seed0, ys.astype(jnp.uint32))
@@ -449,8 +430,17 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
     dx = jnp.where(jnp.abs(dx) < 1e-5, F32(1e-5), dx)
     dy = jnp.where(jnp.abs(dy) < 1e-5, F32(1e-5), dy)
     dz = jnp.where(jnp.abs(dz) < 1e-5, F32(1e-5), dz)
+    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
+    od = ox * dx + oy * dy + oz * dz
+    return dx, dy, dz, od, rng
 
-    od = ox * dx + oy * dy + oz * dz         # (L,)
+
+def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb):
+    """Full per-lane initialization: raygen + shell clip + first band.
+    Returns (_State, _Consts, wrote) for a batch of pixels."""
+    dx, dy, dz, od, rng = _raygen_soa(lp, xs, ys, width, height)
+    r_in = edges[0]
+    r_out = edges[-1]
 
     def sphere_ts(radius):
         disc = od * od - oo + radius * radius
@@ -478,53 +468,96 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
     seg_end0, was_in0 = _band_exit(seg_lo, band0, seg_hi, od, oo, edges)
     m0 = _select_band(majors, band0)
 
+    L = xs.shape[0]
+    zero_i = jnp.zeros(L, jnp.int32)
+    state = _State(
+        t=seg_lo, seg_end=seg_end0, seg_hi=seg_hi, band=band0,
+        was_in=was_in0.astype(jnp.int32), m=m0, si=si0,
+        pending=zero_i,
+        c_test=jnp.zeros((L, 16), F32),
+        c_prof=jnp.full((L, PROF_W), jnp.float32(np.inf), F32),
+        c_hit=zero_i, in_eval=zero_i, c_valid=zero_i,
+        rng=rng,
+        alpha=jnp.zeros(L, F32),
+        done=(~(wrote & (seg_hi > seg_lo))).astype(jnp.int32),
+    )
     consts = _Consts(dx=dx, dy=dy, dz=dz, od=od, s1_lo=s1_lo, s1_hi=s1_hi)
+    return state, consts, wrote
 
+
+def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
+             org, oo) -> _State:
+    """Batched locator query for pending lanes; refreshes column caches.
+    The only gathers in the render loop (bins + test rows + profile row)."""
+    ox, oy, oz = org
     n_lat = loc.dims[0]
     n_lon = loc.dims[1]
+    pend = s.pending != 0
+    px = ox + c.dx * s.t
+    py = oy + c.dy * s.t
+    pz = oz + c.dz * s.t
+    r = _r_of(s.t, c.od, oo)
+    lat = jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0))
+    lon = jnp.arctan2(py, px)
+    bl = jnp.clip(((lat - loc.lat_lo) / (loc.lat_hi - loc.lat_lo)
+                   * n_lat.astype(F32)).astype(jnp.int32), 0, n_lat - 1)
+    bo = jnp.clip(((lon - loc.lon_lo) / (loc.lon_hi - loc.lon_lo)
+                   * n_lon.astype(F32)).astype(jnp.int32), 0, n_lon - 1)
+    bid = jnp.where(pend, bl * n_lon + bo, 0)
+    cand = loc.bins[bid]                             # (L, K) gather
+    valid = cand >= 0
+    safe = jnp.maximum(cand, 0)
+    trows = packed.test[safe]                        # (L, K, 16) gather
+    ev1 = (trows[..., 0] * px[:, None] + trows[..., 1] * py[:, None]
+           + trows[..., 2] * pz[:, None] - trows[..., 3])
+    ev2 = (trows[..., 4] * px[:, None] + trows[..., 5] * py[:, None]
+           + trows[..., 6] * pz[:, None] - trows[..., 7])
+    ev3 = (trows[..., 8] * px[:, None] + trows[..., 9] * py[:, None]
+           + trows[..., 10] * pz[:, None] - trows[..., 11])
+    inside = (valid & (r[:, None] >= trows[..., 12])
+              & (r[:, None] <= trows[..., 13])
+              & (ev1 <= 0.0) & (ev2 <= 0.0) & (ev3 <= 0.0))
+    hit = jnp.any(inside, axis=1)
+    slot = jnp.argmax(inside, axis=1)
+    k_oh = (jnp.arange(cand.shape[1])[None, :] == slot[:, None])
+    cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
+    new_test = jnp.sum(jnp.where(k_oh[..., None], trows, 0.0), axis=1)
+    prow = packed.prof[jnp.where(pend & hit, cid, 0)]  # (L, 160) gather
+
+    upd_hit = pend & hit
+    return s._replace(
+        pending=jnp.zeros_like(s.pending),
+        c_test=jnp.where(upd_hit[:, None], new_test, s.c_test),
+        c_prof=jnp.where(upd_hit[:, None], prow, s.c_prof),
+        c_hit=upd_hit.astype(jnp.int32),
+        c_valid=((s.c_valid != 0) | upd_hit).astype(jnp.int32),
+    )
+
+
+def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
+                bands: RadialBands, lp, xs, ys, width: int, height: int,
+                steps_per_refresh: int = 8, max_outer: int = 16384,
+                use_pallas: bool = False, pallas_interpret: bool = False):
+    """One progressive sample for a batch of pixels.
+
+    lp: ops.render.LaunchParams.  xs, ys: (L,) i32 pixel coords.
+    Returns (wrote (L,) bool, color_alpha (L, 4) f32).
+    """
+    L = xs.shape[0]
+    nb = bands.num_bands
+    edges = bands.edges                      # (B+1,)
+    majors = bands.max_opacities             # (B,)
+
+    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
+    oo = ox * ox + oy * oy + oz * oz         # scalar
+    org = (ox, oy, oz)
+    ud = lp.unit_distance
+
+    init, consts, wrote = _init_lanes(lp, xs, ys, width, height,
+                                      edges, majors, oo, nb)
 
     def refresh(s: _State) -> _State:
-        """Batched locator query for pending lanes; refreshes caches."""
-        pend = s.pending != 0
-        px = ox + dx * s.t
-        py = oy + dy * s.t
-        pz = oz + dz * s.t
-        r = _r_of(s.t, od, oo)
-        lat = jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0))
-        lon = jnp.arctan2(py, px)
-        bl = jnp.clip(((lat - loc.lat_lo) / (loc.lat_hi - loc.lat_lo)
-                       * n_lat.astype(F32)).astype(jnp.int32), 0, n_lat - 1)
-        bo = jnp.clip(((lon - loc.lon_lo) / (loc.lon_hi - loc.lon_lo)
-                       * n_lon.astype(F32)).astype(jnp.int32), 0, n_lon - 1)
-        bid = jnp.where(pend, bl * n_lon + bo, 0)
-        cand = loc.bins[bid]                             # (L, K) gather
-        valid = cand >= 0
-        safe = jnp.maximum(cand, 0)
-        trows = packed.test[safe]                        # (L, K, 16) gather
-        ev1 = (trows[..., 0] * px[:, None] + trows[..., 1] * py[:, None]
-               + trows[..., 2] * pz[:, None] - trows[..., 3])
-        ev2 = (trows[..., 4] * px[:, None] + trows[..., 5] * py[:, None]
-               + trows[..., 6] * pz[:, None] - trows[..., 7])
-        ev3 = (trows[..., 8] * px[:, None] + trows[..., 9] * py[:, None]
-               + trows[..., 10] * pz[:, None] - trows[..., 11])
-        inside = (valid & (r[:, None] >= trows[..., 12])
-                  & (r[:, None] <= trows[..., 13])
-                  & (ev1 <= 0.0) & (ev2 <= 0.0) & (ev3 <= 0.0))
-        hit = jnp.any(inside, axis=1)
-        slot = jnp.argmax(inside, axis=1)
-        k_oh = (jnp.arange(cand.shape[1])[None, :] == slot[:, None])
-        cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
-        new_test = jnp.sum(jnp.where(k_oh[..., None], trows, 0.0), axis=1)
-        prow = packed.prof[jnp.where(pend & hit, cid, 0)]  # (L, 160) gather
-
-        upd_hit = pend & hit
-        return s._replace(
-            pending=jnp.zeros_like(s.pending),
-            c_test=jnp.where(upd_hit[:, None], new_test, s.c_test),
-            c_prof=jnp.where(upd_hit[:, None], prow, s.c_prof),
-            c_hit=upd_hit.astype(jnp.int32),
-            c_valid=((s.c_valid != 0) | upd_hit).astype(jnp.int32),
-        )
+        return _refresh(s, consts, loc, packed, org, oo)
 
     def inner_phase(s: _State) -> _State:
         if use_pallas:
@@ -545,35 +578,28 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         s = inner_phase(s)
         return (s, it + 1)
 
-    zero_i = jnp.zeros(L, jnp.int32)
-    init = _State(
-        t=seg_lo, seg_end=seg_end0, seg_hi=seg_hi, band=band0,
-        was_in=was_in0.astype(jnp.int32), m=m0, si=si0,
-        pending=zero_i,
-        c_test=jnp.zeros((L, 16), F32),
-        c_prof=jnp.full((L, PROF_W), jnp.float32(np.inf), F32),
-        c_hit=zero_i, in_eval=zero_i, c_valid=zero_i,
-        rng=rng,
-        alpha=jnp.zeros(L, F32),
-        done=(~(wrote & (seg_hi > seg_lo))).astype(jnp.int32),
-    )
     out, _ = jax.lax.while_loop(outer_cond, outer_body, (init, jnp.int32(0)))
 
     # recover the accepted sample's RGB once, from the frozen state: an
     # accepting lane sets done with t at the collision and its cache still
     # holding the collided column
-    got = out.alpha > 0.0
-    rr, gg, bb, _ = _classified_at(out.c_prof, _r_of(out.t, od, oo))
+    color_alpha = jnp.stack(_shade(out, consts, lp, oo), axis=-1)
+    return wrote, color_alpha
+
+
+def _shade(s: _State, c: _Consts, lp, oo):
+    """Composite color of a finished lane (ref: deviceCode.cu:333-340):
+    classified RGB of the accepted sample x ambient, binary alpha."""
+    got = s.alpha > 0.0
+    rr, gg, bb, _ = _classified_at(s.c_prof, _r_of(s.t, c.od, oo))
     amb_r = lp.ambient_color[0] * lp.ambient_radiance
     amb_g = lp.ambient_color[1] * lp.ambient_radiance
     amb_b = lp.ambient_color[2] * lp.ambient_radiance
-    zero = jnp.zeros_like(out.t)
-    color_alpha = jnp.stack(
-        [jnp.where(got, rr * amb_r, zero),
-         jnp.where(got, gg * amb_g, zero),
-         jnp.where(got, bb * amb_b, zero),
-         jnp.where(got, 1.0, 0.0)], axis=-1)
-    return wrote, color_alpha
+    zero = jnp.zeros_like(s.t)
+    return (jnp.where(got, rr * amb_r, zero),
+            jnp.where(got, gg * amb_g, zero),
+            jnp.where(got, bb * amb_b, zero),
+            jnp.where(got, 1.0, 0.0))
 
 
 @functools.partial(jax.jit,
@@ -641,3 +667,138 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
         return accum_head, fb_head
     return (jnp.concatenate([accum_head, accum[n_proc:]]),
             jnp.concatenate([fb_head, fb[n_proc:]]))
+
+
+# ===========================================================================
+# Persistent ray-queue renderer: ONE wavefront of `lanes` rays for the whole
+# frame; a retired lane scatters its result by pixel id and immediately
+# reloads the next pixel from the cost-sorted queue.  This removes the
+# chunk-level lockstep (a chunk runs as long as its slowest ray) that
+# dominated round-1 losses.
+#
+# Refills happen only at outer-iteration boundaries, so a given pixel sees
+# exactly the same refresh/step cadence (and therefore the same RNG draw
+# sequence) as in the chunked renderer -- outputs are BIT-IDENTICAL to
+# render_frame_fast (asserted in tests/test_fast_queue.py).
+# ===========================================================================
+
+class _QCarry(NamedTuple):
+    s: _State
+    c: _Consts
+    pix: jnp.ndarray     # (L,) i32 pixel id held by each lane; -1 = empty
+    w: jnp.ndarray       # (L,) i32 lane's wrote flag (hit the outer shell)
+    head: jnp.ndarray    # () i32 next queue position to hand out
+    out_ca: jnp.ndarray  # (T+1, 4) f32 scatter target (row T = trash)
+    out_w: jnp.ndarray   # (T+1,) bool
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "steps_per_refresh",
+                                    "lanes", "n_active", "max_outer"),
+                   donate_argnames=("accum", "fb"))
+def render_frame_fast_queue(cells: Cells, packed: PackedCells, loc: Locator,
+                            bands: RadialBands, lp, accum, fb, *,
+                            width: int, height: int,
+                            steps_per_refresh: int = 8, lanes: int = 16384,
+                            pixel_perm=None, n_active: int | None = None,
+                            max_outer: int = 1 << 30):
+    """Full-frame progressive step, persistent-queue scheduling.
+
+    Unlike render_frame_fast, accum/fb are in NATURAL pixel order (results
+    are scattered by pixel id on lane retirement) -- no unpermute needed at
+    present time.  pixel_perm orders the queue (cost-sorted); n_active
+    limits it to the covered prefix (the tail's rays can never write,
+    ref: deviceCode.cu:294 early return).
+    """
+    from .render import _finalize  # local import to avoid cycle
+
+    total = width * height
+    queue = jnp.arange(total, dtype=jnp.int32) if pixel_perm is None \
+        else pixel_perm
+    n_queue = total if n_active is None else min(max(n_active, 0), total)
+    if n_queue == 0:   # nothing covered: no ray can write
+        return accum, fb
+    # costliest first: stragglers start earliest (classic LPT scheduling)
+    queue = queue[:n_queue][::-1]
+    L = min(lanes, max(n_queue, 1))
+
+    nb = bands.num_bands
+    edges = bands.edges
+    majors = bands.max_opacities
+    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
+    oo = ox * ox + oy * oy + oz * oz
+    org = (ox, oy, oz)
+    ud = lp.unit_distance
+
+    def init_lanes(pix):
+        """(state, consts, wrote) for pixel ids; empty (-1) lanes are done."""
+        safe = jnp.maximum(pix, 0)
+        ys, xs = jnp.divmod(safe, width)
+        s, c, w = _init_lanes(lp, xs, ys, width, height, edges, majors,
+                              oo, nb)
+        empty = pix < 0
+        s = s._replace(done=jnp.where(empty, 1, s.done))
+        return s, c, w & ~empty
+
+    def retire_refill(q: _QCarry) -> _QCarry:
+        ret = q.s.done != 0
+        real = q.pix >= 0
+        # scatter finished results by pixel id (trash row T for the rest)
+        ca = jnp.stack(_shade(q.s, q.c, lp, oo), axis=-1)
+        idx = jnp.where(ret & real, q.pix, total)
+        out_ca = q.out_ca.at[idx].set(ca, mode="drop")
+        out_w = q.out_w.at[idx].set(q.w != 0, mode="drop")
+        # pop replacement pixels for retiring lanes
+        rank = jnp.cumsum(ret.astype(jnp.int32)) - 1      # 0-based among ret
+        pos = q.head + rank
+        can = ret & (pos < n_queue)
+        pix_new = queue[jnp.clip(pos, 0, n_queue - 1)]
+        pix2 = jnp.where(can, pix_new, jnp.where(ret, -1, q.pix))
+        head2 = jnp.minimum(q.head + jnp.sum(ret.astype(jnp.int32)),
+                            jnp.int32(n_queue))
+        s_new, c_new, w_new = init_lanes(pix2)
+        merge = lambda a, b: jnp.where(
+            can[(...,) + (None,) * (a.ndim - 1)] if a.ndim > 1
+            else can, a, b)
+        s2 = _State(*(merge(a, b) for a, b in zip(s_new, q.s)))
+        c2 = _Consts(*(merge(a, b) for a, b in zip(c_new, q.c)))
+        w2 = jnp.where(can, w_new.astype(jnp.int32), q.w)
+        return _QCarry(s=s2, c=c2, pix=pix2, w=w2, head=head2,
+                       out_ca=out_ca, out_w=out_w)
+
+    def inner_phase(q: _QCarry) -> _QCarry:
+        s = jax.lax.cond(jnp.any(q.s.pending != 0),
+                         lambda s: _refresh(s, q.c, loc, packed, org, oo),
+                         lambda s: s, q.s)
+        s = jax.lax.fori_loop(
+            0, steps_per_refresh,
+            lambda i, st: step_core(st, q.c, edges, majors, org, oo, ud, nb),
+            s)
+        return q._replace(s=s)
+
+    def cond(carry):
+        q, it = carry
+        return ((q.head < n_queue) | jnp.any((q.s.done == 0)
+                                             & (q.pix >= 0))) \
+            & (it < max_outer)
+
+    def body(carry):
+        q, it = carry
+        q = retire_refill(q)
+        q = inner_phase(q)
+        return q, it + 1
+
+    pix0 = jnp.where(jnp.arange(L) < n_queue,
+                     queue[jnp.clip(jnp.arange(L), 0, max(n_queue - 1, 0))],
+                     -1).astype(jnp.int32)
+    s0, c0, w0 = init_lanes(pix0)
+    q0 = _QCarry(s=s0, c=c0, pix=pix0, w=w0.astype(jnp.int32),
+                 head=jnp.int32(min(L, n_queue)),
+                 out_ca=jnp.zeros((total + 1, 4), F32),
+                 out_w=jnp.zeros(total + 1, bool))
+    q, _ = jax.lax.while_loop(cond, body, (q0, jnp.int32(0)))
+    q = retire_refill(q)   # final scatter (loop exits with results in-lane)
+
+    wrote = q.out_w[:total]
+    ca = q.out_ca[:total]
+    return _finalize(wrote, ca, accum, fb, lp.accum_id)
