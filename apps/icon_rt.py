@@ -64,7 +64,7 @@ def parse_app_args(argv):
         elif a == "--accel-mode":
             cfg["accel_mode"] = argv[i + 1]; i += 1
         elif a == "--sampler":
-            cfg["sampler"] = argv[i + 1]; i += 1
+            cfg["sampler"] = argv[i + 1]; cfg["sampler_explicit"] = True; i += 1
         elif a == "-o":
             cfg["out"] = argv[i + 1].removesuffix(".png"); i += 1
         i += 1
@@ -76,6 +76,22 @@ def main(argv=None):
     if "--help" in argv or "-h" in argv:
         print(__doc__)
         return 0
+    pl = build(argv)
+    if pl is None:
+        return 1
+    # render loop (ref: hostCode.cu:931-965)
+    while True:
+        pl.launch()
+        if not pl.is_running():
+            break
+    pl.present()
+    return 0
+
+
+def build(argv):
+    """Construct the fully-wired Pipeline (render fn, toggles, TF handler)
+    without running the frame loop — the testable seam for driving runtime
+    mode toggles (ref: hostCode.cu:843-857) programmatically."""
     cfg = parse_app_args(argv)
 
     from icon_rt_tpu.utils.cache import enable_compilation_cache
@@ -105,7 +121,7 @@ def main(argv=None):
         if not cfg["filepath"]:
             print("Usage: icon_rt <file.ic> | --synthetic SUBDIV[:LAYERS]",
                   file=sys.stderr)
-            return 1
+            return None
         ds = icfile.read_ic(cfg["filepath"], cfg["num_cells"]
                             if cfg["num_cells"] >= 0 else None)
         ds = ds.crop(cfg["lat_range"], cfg["lon_range"])
@@ -144,12 +160,22 @@ def main(argv=None):
     magnitude = np.floor(np.log10(stats.spherical_bounds_lo[0]))
     scale = 10.0 ** (magnitude - 3)
     state = {"unit_distance": 1.0 * scale, "accel_active": True,
-             "mode": cfg["mode"], "accel_mode": cfg["accel_mode"]}
+             "mode": cfg["mode"], "accel_mode": cfg["accel_mode"],
+             "raygen": cfg["raygen"]}
     pl.ui_param("Unit distance", lambda: state["unit_distance"],
                 lambda v: state.__setitem__("unit_distance", v),
                 minf=0.01 * scale, maxf=5.0 * scale)
     pl.ui_param("Use naive accel", lambda: state["accel_active"],
                 lambda v: state.__setitem__("accel_active", v))
+    # live mode toggles (ref: hostCode.cu:138-199 toggleRayGen/Mode/
+    # AccelMode + UI at :843-857): render() reads `state` every frame, so
+    # set_ui_param mid-run swaps the path AND resets accumulation.  The
+    # fast raygen is our TPU-native extension; its sampler is the analytic
+    # column cache and its accel the radial bands, so "Sampler mode" /
+    # "Accel mode" apply to the two reference-parity raygens (accel, ae).
+    pl.ui_param("Raygen", lambda: state["raygen"],
+                lambda v: state.__setitem__("raygen", v),
+                options=["fast", "accel", "ae"])
     pl.ui_param("Sampler mode", lambda: state["mode"],
                 lambda v: state.__setitem__("mode", v),
                 options=["user geom mode", "triangle mode", "cuBQL mode"])
@@ -157,36 +183,67 @@ def main(argv=None):
                 lambda v: state.__setitem__("accel_mode", v),
                 options=["sphere accel", "grid accel"])
 
-    # -- accel builds --------------------------------------------------------
-    raygen = cfg["raygen"]
-    shell = grid = bands = packed = None
-    if raygen == "fast":
-        bands = build_radial_bands(ds, cfg["bands"])
-    elif raygen == "accel":
-        if cfg["accel_mode"] == "sphere":
-            shell = build_shell_accel(ds, stats.spherical_bounds_lo,
-                                      stats.spherical_bounds_hi)
-        else:
-            grid = build_grid_accel(ds, stats.world_bounds_lo, stats.world_bounds_hi)
-
+    # -- accel structures: built lazily on first use, majorants refreshed on
+    # every TF edit (ref: hostCode.cu:440-701 builds all up front on a GPU;
+    # lazily here so a toggled-in mode pays its build once) -----------------
     device = {}
+    struct = {"shell": None, "grid": None, "bands": None, "wedges": None,
+              "packed": None}
+
+    def get_bands():
+        if struct["bands"] is None:
+            struct["bands"] = update_band_majorants(
+                build_radial_bands(ds, cfg["bands"]),
+                device["tf"].values, device["tf"].value_range)
+        return struct["bands"]
+
+    def get_packed():
+        if struct["packed"] is None:
+            struct["packed"] = pack_cells(cells, device["tf"])
+        return struct["packed"]
+
+    def get_shell():
+        if struct["shell"] is None:
+            struct["shell"] = update_majorants(
+                build_shell_accel(ds, stats.spherical_bounds_lo,
+                                  stats.spherical_bounds_hi),
+                device["tf"].values, device["tf"].value_range)
+        return struct["shell"]
+
+    def get_grid():
+        if struct["grid"] is None:
+            struct["grid"] = update_majorants(
+                build_grid_accel(ds, stats.world_bounds_lo,
+                                 stats.world_bounds_hi),
+                device["tf"].values, device["tf"].value_range)
+        return struct["grid"]
+
+    def get_wedges():
+        if struct["wedges"] is None:
+            struct["wedges"] = build_wedges(ds)
+        return struct["wedges"]
+
+    if wedges is not None:
+        struct["wedges"] = wedges
 
     def on_tf_update(tf_state, index):
-        """TF-edit handler: refresh device LUT + majorants
-        (ref: hostCode.cu:878-909)."""
-        nonlocal shell, grid, bands, packed
+        """TF-edit handler: refresh device LUT + majorants of every BUILT
+        structure (ref: hostCode.cu:878-909)."""
         device["tf"] = tf_state.to_device()
-        if bands is not None:
-            bands = update_band_majorants(bands, device["tf"].values,
-                                          device["tf"].value_range)
-        if shell is not None:
-            shell = update_majorants(shell, device["tf"].values,
-                                     device["tf"].value_range)
-        if grid is not None:
-            grid = update_majorants(grid, device["tf"].values,
-                                    device["tf"].value_range)
-        if raygen == "fast":
-            packed = pack_cells(cells, device["tf"])
+        if struct["bands"] is not None:
+            struct["bands"] = update_band_majorants(
+                struct["bands"], device["tf"].values,
+                device["tf"].value_range)
+        if struct["shell"] is not None:
+            struct["shell"] = update_majorants(
+                struct["shell"], device["tf"].values,
+                device["tf"].value_range)
+        if struct["grid"] is not None:
+            struct["grid"] = update_majorants(
+                struct["grid"], device["tf"].values,
+                device["tf"].value_range)
+        if struct["packed"] is not None:
+            struct["packed"] = pack_cells(cells, device["tf"])
 
     pl.set_transfunc_update_handler(on_tf_update)
     on_tf_update(pl.transfunc, 0)
@@ -196,8 +253,17 @@ def main(argv=None):
     frame["accum"], frame["fb"] = alloc_frame(W, H)
 
     def render(frame_id):
+        raygen = state["raygen"]
+        # reference sampler modes (ref: Params.h:29-31): 2 = cuBQL -> the
+        # Newton wedge sampler; 0/1 -> analytic column sampling (locator),
+        # unless an explicit --sampler (e.g. brute) was given on the CLI
+        sampler = "wedge" if state["mode"] == 2 else (
+            cfg["sampler"] if cfg.get("sampler_explicit") else "locator")
         if frame_id == 0:
             frame["accum"], frame["fb"] = alloc_frame(W, H)
+            frame["raygen"] = raygen  # mode changes reset accumulation, so
+            # the buffer layout (permuted for fast, natural otherwise) is
+            # consistent within one accumulation run
         lp = make_launch_params(
             cam.basis(W, H), stats.world_bounds_lo, stats.world_bounds_hi,
             ambient_color=(1.0, 1.0, 1.0), ambient_radiance=1.0,
@@ -212,38 +278,34 @@ def main(argv=None):
                 frame["perm"] = jnp.asarray(p)
                 frame["n_active"] = bucket_active(n_cov, 4096, W * H)
             frame["accum"], frame["fb"] = render_frame_fast(
-                cells, packed, locator, bands, lp, frame["accum"], frame["fb"],
+                cells, get_packed(), locator, get_bands(), lp,
+                frame["accum"], frame["fb"],
                 width=W, height=H, pixel_perm=frame["perm"],
                 n_active=frame["n_active"])
         elif raygen == "accel" and state["accel_active"]:
-            accel = shell if cfg["accel_mode"] == "sphere" else grid
+            accel_mode = state["accel_mode"]
+            accel = get_shell() if accel_mode == "sphere" else get_grid()
             frame["accum"], frame["fb"] = render_frame_accel(
                 cells, device["tf"], accel, lp, frame["accum"], frame["fb"],
-                width=W, height=H, accel_mode=cfg["accel_mode"],
-                sampler=cfg["sampler"], locator=locator, wedges=wedges)
+                width=W, height=H, accel_mode=accel_mode,
+                sampler=sampler, locator=locator,
+                wedges=get_wedges() if sampler == "wedge" else None)
         else:
             frame["accum"], frame["fb"] = render_frame_ae(
                 cells, device["tf"], lp, frame["accum"], frame["fb"],
-                width=W, height=H, sampler=cfg["sampler"], locator=locator,
-                wedges=wedges)
+                width=W, height=H, sampler=sampler, locator=locator,
+                wedges=get_wedges() if sampler == "wedge" else None)
         return frame["fb"]
 
     pl.set_render_fn(render)
 
     def present_fn(fb, w, h):
         # fast path renders in ray-sorted order; unpermute on the host
-        if raygen == "fast" and frame["inv"] is not None:
+        if frame.get("raygen") == "fast" and frame["inv"] is not None:
             fb = fb[frame["inv"]]
         pl.write_frame(fb)
     pl.present_fn = present_fn
-
-    # render loop (ref: hostCode.cu:931-965)
-    while True:
-        pl.launch()
-        if not pl.is_running():
-            break
-    pl.present()
-    return 0
+    return pl
 
 
 if __name__ == "__main__":
