@@ -134,3 +134,117 @@ def gather_frame(fb) -> np.ndarray:
     """Collect the sharded framebuffer to the host for display
     (the one DEVICE->HOST boundary, as in ref: common/pipeline.cu:1084-1086)."""
     return np.asarray(jax.device_get(fb))
+
+
+# ===========================================================================
+# Fast raygen, sharded with its single-device wins intact (round-2 item:
+# the naive row-tile sharding above gives edge devices all-background rows
+# and center devices all the work).  The cost-sorted pixel permutation
+# (ops/order.pixel_order) is dealt ROUND-ROBIN across the tiles axis, so
+#   * every device receives the same expected-cost mix (positions t, T+t,
+#     2T+t, ... of the sorted order differ by < one sort quantum), and
+#   * the covered-prefix skip survives sharding — uncovered pixels are not
+#     dealt at all (their rays can never write, ref: deviceCode.cu:294).
+# ===========================================================================
+
+def plan_fast_sharding(perm: np.ndarray, n_active: int, n_tiles: int,
+                       chunk: int = 4096) -> np.ndarray:
+    """Deal the covered prefix of a cost-sorted pixel permutation across
+    `n_tiles` devices.  Returns (n_tiles, p_local) i32 pixel ids, -1 for
+    padding lanes; p_local is a multiple of `chunk` (one compile per
+    power-of-two bucket when combined with order.bucket_active)."""
+    n_active = max(int(n_active), 1)
+    n_proc = -(-n_active // (n_tiles * chunk)) * n_tiles * chunk
+    padded = np.full(n_proc, -1, np.int32)
+    padded[:n_active] = perm[:n_active]
+    return np.ascontiguousarray(padded.reshape(-1, n_tiles).T)
+
+
+def render_frame_fast_sharded(mesh: Mesh, cells: Cells, packed, locator,
+                              bands, lp: LaunchParams, accum, fb,
+                              local_pix, *, width: int, height: int,
+                              chunk: int = 4096, steps_per_refresh: int = 8):
+    """One progressive fast-raygen step over the mesh.
+
+    local_pix: (n_tiles * p_local,) i32 flattened plan_fast_sharding output,
+    sharded P('tiles').  accum (n_tiles*p_local, 4) / fb (n_tiles*p_local,)
+    are in DEALT order — scatter_fast_frame restores natural pixel order on
+    the host.  With a 'samples' axis of size S, device (t, s) renders its
+    tile at accum_id = lp.accum_id * S + s and a psum averages the batch.
+    """
+    from ..ops.fast import render_fast
+
+    n_samples = mesh.shape["samples"]
+    p_local = local_pix.shape[-1] if local_pix.ndim == 2 \
+        else local_pix.shape[0] // mesh.shape["tiles"]
+
+    def body(cells_, packed_, locator_, bands_, lp_, pix, accum_l, fb_l):
+        s = jax.lax.axis_index("samples")
+        lp_s = lp_._replace(accum_id=lp_.accum_id * n_samples + s)
+
+        def run(pix_c):
+            safe = jnp.maximum(pix_c, 0)
+            ys, xs = jnp.divmod(safe, width)
+            wrote, ca = render_fast(cells_, packed_, locator_, bands_, lp_s,
+                                    xs, ys, width, height, steps_per_refresh)
+            return wrote & (pix_c >= 0), ca
+
+        if p_local <= chunk:
+            wrote, ca = run(pix)
+        else:
+            n = p_local // chunk
+            wrote, ca = jax.lax.map(run, pix.reshape(n, chunk))
+            wrote = wrote.reshape(-1)
+            ca = ca.reshape(-1, 4)
+        if n_samples > 1:
+            n_wrote = jax.lax.psum(wrote.astype(jnp.float32), "samples")
+            ca_sum = jax.lax.psum(jnp.where(wrote[:, None], ca, 0.0),
+                                  "samples")
+            wrote = n_wrote > 0.0
+            ca = ca_sum / jnp.maximum(n_wrote, 1.0)[:, None]
+        return _finalize(wrote, ca, accum_l, fb_l, lp_.accum_id)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("tiles"),
+                  P("tiles", None), P("tiles")),
+        out_specs=(P("tiles", None), P("tiles")),
+        check_vma=False)
+    return fn(cells, packed, locator, bands, lp,
+              jnp.asarray(local_pix).reshape(-1), accum, fb)
+
+
+def jit_render_frame_fast_sharded(mesh, *, width, height, chunk=4096,
+                                  steps_per_refresh=8, donate=True):
+    """Jitted closure over the static configuration."""
+    def step(cells, packed, locator, bands, lp, accum, fb, local_pix):
+        return render_frame_fast_sharded(
+            mesh, cells, packed, locator, bands, lp, accum, fb, local_pix,
+            width=width, height=height, chunk=chunk,
+            steps_per_refresh=steps_per_refresh)
+    kw = dict(donate_argnums=(5, 6)) if donate else {}
+    return jax.jit(step, **kw)
+
+
+def alloc_fast_sharded_frame(mesh: Mesh, local_pix):
+    """Dealt-order accum/fb, tile-sharded."""
+    n = int(np.prod(local_pix.shape))
+    accum = jnp.zeros((n, 4), jnp.float32)
+    fb = jnp.zeros((n,), jnp.uint32)
+    return shard_frame(mesh, accum, fb)
+
+
+def shard_local_pix(mesh: Mesh, local_pix) -> jax.Array:
+    sh = NamedSharding(mesh, P("tiles"))
+    return jax.device_put(jnp.asarray(local_pix).reshape(-1), sh)
+
+
+def scatter_fast_frame(fb_dealt: np.ndarray, local_pix: np.ndarray,
+                       width: int, height: int) -> np.ndarray:
+    """Host-side: dealt-order framebuffer -> natural pixel order (background
+    zero for pixels that were never dealt)."""
+    out = np.zeros(width * height, fb_dealt.dtype)
+    flat = np.asarray(local_pix).reshape(-1)
+    m = flat >= 0
+    out[flat[m]] = np.asarray(fb_dealt).reshape(-1)[m]
+    return out

@@ -112,3 +112,72 @@ def test_fast_raygen_sharded():
     accum, fb = shard_frame(mesh, *alloc_frame(W, H))
     accum, fb = step(cells, tf, None, lp, accum, fb, loc, packed, bands)
     np.testing.assert_array_equal(gather_frame(fb), np.asarray(f_ref))
+
+
+def test_fast_sharded_cost_dealt():
+    """Round-2 scheduling: the cost-sorted covered prefix is dealt
+    round-robin across tiles — per-device covered counts are equal (+-1),
+    per-device expected cost is near-uniform, and the image equals the
+    single-device fast render exactly (per-pixel results depend only on
+    pixel id + accum_id)."""
+    from icon_rt_tpu.models.shells import build_radial_bands, update_band_majorants
+    from icon_rt_tpu.ops.fast import pack_cells, render_frame_fast
+    from icon_rt_tpu.ops.order import pixel_order
+    from icon_rt_tpu.ops.render import fb_to_image
+    from icon_rt_tpu.parallel.sharded import (alloc_fast_sharded_frame,
+                                              jit_render_frame_fast_sharded,
+                                              plan_fast_sharding,
+                                              scatter_fast_frame,
+                                              shard_local_pix)
+    from icon_rt_tpu.data import synthetic as syn
+
+    W, H = 32, 24
+    ds = syn.icosphere(subdivisions=2, num_layers=4)
+    stats = compute_stats(ds)
+    cells = build_cells(ds)
+    loc = build_locator(ds)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    bands = update_band_majorants(build_radial_bands(ds, 8),
+                                  tf.values, tf.value_range)
+    packed = pack_cells(cells, tf)
+    cam = Camera()
+    cam.set_aspect(W / H)
+    center = 0.5 * (stats.world_bounds_lo + stats.world_bounds_hi)
+    R = float(stats.spherical_bounds_hi[0])
+    cam.set_orientation(center + np.array([1.8 * R, 0.3 * R, 0.7 * R], np.float32),
+                        center, np.array([0, 0, 1], np.float32), cam.fovy)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], W, H)
+    assert 0 < n_active < W * H
+
+    T, chunk = 8, 16
+    local = plan_fast_sharding(perm, n_active, T, chunk)
+    assert local.shape[0] == T and local.shape[1] % chunk == 0
+
+    # balance: covered counts equal +-1; expected chord cost near-uniform
+    covered = (local >= 0).sum(axis=1)
+    assert covered.max() - covered.min() <= 1
+    from icon_rt_tpu.ops.order import _chord_keys
+    ys, xs = np.divmod(np.arange(W * H, dtype=np.int32), W)
+    keys = np.asarray(_chord_keys(lp.cam_org, lp.cam_dir00, lp.cam_du,
+                                  lp.cam_dv, jnp.float32(stats.spherical_bounds_lo[0]),
+                                  jnp.float32(stats.spherical_bounds_hi[0]),
+                                  jnp.asarray(xs), jnp.asarray(ys)))
+    cost = np.where(local >= 0, np.where(np.isfinite(keys), keys, 0.0)
+                    [np.maximum(local, 0)], 0.0).sum(axis=1)
+    assert cost.min() > 0.8 * cost.max()
+
+    mesh = make_mesh(tiles=T, samples=1)
+    step = jit_render_frame_fast_sharded(mesh, width=W, height=H,
+                                         chunk=chunk, donate=False)
+    accum, fb = alloc_fast_sharded_frame(mesh, local)
+    pix_dev = shard_local_pix(mesh, local)
+    accum, fb = step(cells, packed, loc, bands, lp, accum, fb, pix_dev)
+    img = scatter_fast_frame(gather_frame(fb), local, W, H)
+
+    a_ref, f_ref = render_frame_fast(cells, packed, loc, bands, lp,
+                                     *alloc_frame(W, H), width=W, height=H)
+    np.testing.assert_array_equal(img, np.asarray(f_ref))
