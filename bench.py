@@ -134,6 +134,28 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
     cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
     dt = time.perf_counter() - t0
 
+    # TF-edit latency (VERDICT r1 #8; BASELINE configs[3] is fps UNDER live
+    # TF edits): edit -> majorant update -> profile re-bake -> next frame
+    # presented, measured warm (an interactive session's steady state)
+    from icon_rt_tpu.ops.fast import pack_profile_rows
+
+    def tf_edit(scale):
+        tf2 = tf._replace(opacity_scale=jnp.float32(scale))
+        bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
+        packed2 = packed._replace(prof=pack_profile_rows(cells, tf2))
+        a2, f2 = render_frame_fast(cells, packed2, locator, bands2,
+                                   lp._replace(accum_id=jnp.int32(0)),
+                                   *alloc_frame(WIDTH, HEIGHT),
+                                   width=WIDTH, height=HEIGHT,
+                                   pixel_perm=perm, n_active=n_active,
+                                   chunk=chunk, steps_per_refresh=spr)
+        np.asarray(f2)  # materialize: edit-to-PRESENTED-frame
+
+    tf_edit(0.9)  # warm the edit path's compiled artifacts
+    t0 = time.perf_counter()
+    tf_edit(0.8)
+    dt_edit = time.perf_counter() - t0
+
     return {
         "cells": int(ds.num_cells),
         "framing": framing,
@@ -141,6 +163,7 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
         "mray_full": round(total * iters / dt / 1e6, 2),
         "mray_traced": round(n_traced * iters / dt / 1e6, 2),
         "fps": round(iters / dt, 2),
+        "tf_edit_s": round(dt_edit, 3),
     }
 
 
@@ -170,7 +193,7 @@ def main():
     desc = "; ".join(
         f"{name}[{r['cells']}c,{r['framing']},cov={r['coverage']}]: "
         f"{r['mray_full']} full / {r['mray_traced']} traced Mray/s, "
-        f"{r['fps']} fps"
+        f"{r['fps']} fps, tf-edit {r['tf_edit_s']}s"
         for name, r in results.items())
     print(json.dumps({
         "metric": f"Mray/s full-frame, {WIDTH}x{HEIGHT} fast raygen "
