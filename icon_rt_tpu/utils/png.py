@@ -18,8 +18,10 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
-def write_png(path: str, rgba: np.ndarray, flip_vertically: bool = True) -> None:
-    """Write an (H, W, 4) uint8 RGBA array as a PNG file."""
+def encode_png(rgba: np.ndarray, flip_vertically: bool = True,
+               level: int = 6) -> bytes:
+    """Encode an (H, W, 4) uint8 RGBA array as PNG bytes (in memory — the
+    interactive viewer streams these over HTTP)."""
     rgba = np.asarray(rgba)
     if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
         raise ValueError(f"expected (H, W, 4) uint8, got {rgba.shape} {rgba.dtype}")
@@ -29,12 +31,16 @@ def write_png(path: str, rgba: np.ndarray, flip_vertically: bool = True) -> None
     # filter byte 0 (None) per scanline
     raw = np.concatenate([np.zeros((h, 1), np.uint8), rgba.reshape(h, w * 4)], axis=1)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n"
-           + _chunk(b"IHDR", ihdr)
-           + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
-           + _chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+            + _chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgba: np.ndarray, flip_vertically: bool = True) -> None:
+    """Write an (H, W, 4) uint8 RGBA array as a PNG file."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgba, flip_vertically))
 
 
 def read_png(path: str) -> np.ndarray:

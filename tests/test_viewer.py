@@ -1,0 +1,129 @@
+"""Interactive HTTP viewer: frame streaming, event routing (CameraManip /
+TFE / uiParams), accumulation-reset semantics, and edit-latency metrics
+(ref loop being mirrored: common/pipeline.cu:480-731)."""
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+
+import icon_rt  # noqa: E402
+import viewer  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def live():
+    pl = icon_rt.build(["--synthetic", "1:3", "--size", "32", "32",
+                        "--sample-limit", "6"])
+    st = viewer.ViewerState()
+    th = threading.Thread(
+        target=viewer.serve, args=(pl,),
+        kwargs=dict(port=0, state=st), daemon=True)
+    th.start()
+    for _ in range(600):
+        if hasattr(st, "port"):
+            break
+        time.sleep(0.05)
+    assert hasattr(st, "port"), "server did not start"
+    yield st, f"http://127.0.0.1:{st.port}"
+    st.stop = True
+    th.join(timeout=30)
+
+
+def _get(url, timeout=120):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status
+
+
+def test_page_and_first_frame(live):
+    st, base = live
+    status, _, body = _get(base + "/")
+    assert status == 200 and b"icon_rt_tpu viewer" in body
+    status, heads, png = _get(base + "/frame.png?since=-1")
+    assert status == 200
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert int(heads["X-Frame-Id"]) >= 0
+    assert float(heads["X-Fps"]) > 0
+
+
+def test_progressive_accumulation_advances(live):
+    st, base = live
+    _, h1, _ = _get(base + "/frame.png?since=-1")
+    fid = int(h1["X-Frame-Id"])
+    _, h2, _ = _get(base + f"/frame.png?since={fid}")
+    assert int(h2["X-Frame-Id"]) > fid
+
+
+def test_camera_drag_resets_accumulation_and_changes_image(live):
+    st, base = live
+    # let it converge to the sample limit first
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, h, png_before = _get(base + "/frame.png?since=-1")
+        if int(h["X-Accum-Id"]) >= 5:
+            break
+        time.sleep(0.1)
+    assert int(h["X-Accum-Id"]) >= 5
+    fid = int(h["X-Frame-Id"])
+    _post(base + "/event", {"type": "view", "etype": "down",
+                            "x": 16, "y": 16, "button": 0, "alt": False})
+    _post(base + "/event", {"type": "view", "etype": "move",
+                            "x": 24, "y": 18, "button": 0, "alt": False})
+    _post(base + "/event", {"type": "view", "etype": "up",
+                            "x": 24, "y": 18, "button": 0, "alt": False})
+    _, h2, png_after = _get(base + f"/frame.png?since={fid}")
+    assert int(h2["X-Accum-Id"]) < 5          # accumulation restarted
+    assert png_after != png_before            # view actually moved
+
+
+def test_tfe_stroke_triggers_edit_and_latency_metric(live):
+    st, base = live
+    _, h, _ = _get(base + "/frame.png?since=-1")
+    fid = int(h["X-Frame-Id"])
+    # paint the alpha curve to ~zero across the left half of the widget
+    _post(base + "/event", {"type": "tfe", "etype": "down",
+                            "x": 10, "y": 148, "button": 0})
+    for x in range(20, 150, 10):
+        _post(base + "/event", {"type": "tfe", "etype": "move",
+                                "x": x, "y": 148, "button": 0})
+    _post(base + "/event", {"type": "tfe", "etype": "up",
+                            "x": 150, "y": 148, "button": 0})
+    _, h2, _ = _get(base + f"/frame.png?since={fid}")
+    deadline = time.time() + 60
+    lat = -1.0
+    while time.time() < deadline:
+        status, _, body = _get(base + "/stats")
+        lat = json.loads(body)["edit_latency_ms"]
+        if lat >= 0:
+            break
+        time.sleep(0.1)
+    assert lat >= 0, "edit latency was never measured"
+    status, _, tfe_png = _get(base + "/tfe.png")
+    assert tfe_png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_param_toggle_via_http(live):
+    st, base = live
+    _, h, _ = _get(base + "/frame.png?since=-1")
+    fid = int(h["X-Frame-Id"])
+    _post(base + "/event", {"type": "param", "name": "Raygen", "value": "ae"})
+    _, h2, _ = _get(base + f"/frame.png?since={fid}")
+    assert int(h2["X-Accum-Id"]) <= 1         # param change reset accumulation
+    _post(base + "/event", {"type": "param", "name": "Raygen",
+                            "value": "fast"})
+    status, _, body = _get(base + "/params")
+    names = [p["name"] for p in json.loads(body)]
+    assert "Raygen" in names and "Sampler mode" in names
