@@ -67,6 +67,9 @@ def parse_app_args(argv):
             cfg["sampler"] = argv[i + 1]; cfg["sampler_explicit"] = True; i += 1
         elif a == "-o":
             cfg["out"] = argv[i + 1].removesuffix(".png"); i += 1
+        elif a == "--quantized":
+            # R2B9 tier: u16/u8 cell tables + CSR locator (models/qcells.py)
+            cfg["quantized"] = True
         i += 1
     return cfg
 
@@ -202,6 +205,21 @@ def build(argv):
             struct["packed"] = pack_cells(cells, device["tf"])
         return struct["packed"]
 
+    def get_q():
+        """Quantized tier (--quantized): cells + CSR locator; TF edits
+        re-bake only the u8 alpha channel (models/qcells.bake_alpha_q)."""
+        from icon_rt_tpu.models.locator import build_locator_csr
+        from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
+                                               quantize_dataset_values)
+        if struct.get("q") is None:
+            ds_q, lo, hi = quantize_dataset_values(ds)
+            struct["q"] = quantize_cells(ds_q, value_range=(lo, hi))
+            struct["loc_csr"] = build_locator_csr(ds_q)
+        if struct.get("q_tf") is not device["tf"]:
+            struct["q"] = bake_alpha_q(struct["q"], device["tf"])
+            struct["q_tf"] = device["tf"]
+        return struct["q"], struct["loc_csr"]
+
     def get_shell():
         if struct["shell"] is None:
             struct["shell"] = update_majorants(
@@ -277,11 +295,20 @@ def build(argv):
                 frame["inv"] = inverse_order(p)
                 frame["perm"] = jnp.asarray(p)
                 frame["n_active"] = bucket_active(n_cov, 4096, W * H)
-            frame["accum"], frame["fb"] = render_frame_fast(
-                cells, get_packed(), locator, get_bands(), lp,
-                frame["accum"], frame["fb"],
-                width=W, height=H, pixel_perm=frame["perm"],
-                n_active=frame["n_active"])
+            if cfg.get("quantized"):
+                from icon_rt_tpu.ops.fastq import render_frame_fast_q
+                qc, (loc_csr, k_cap) = get_q()
+                frame["accum"], frame["fb"] = render_frame_fast_q(
+                    qc, loc_csr, k_cap, get_bands(), device["tf"], lp,
+                    frame["accum"], frame["fb"],
+                    width=W, height=H, pixel_perm=frame["perm"],
+                    n_active=frame["n_active"])
+            else:
+                frame["accum"], frame["fb"] = render_frame_fast(
+                    cells, get_packed(), locator, get_bands(), lp,
+                    frame["accum"], frame["fb"],
+                    width=W, height=H, pixel_perm=frame["perm"],
+                    n_active=frame["n_active"])
         elif raygen == "accel" and state["accel_active"]:
             accel_mode = state["accel_mode"]
             accel = get_shell() if accel_mode == "sphere" else get_grid()

@@ -47,24 +47,45 @@ from icon_rt_tpu.ops.render import alloc_frame, make_launch_params  # noqa: E402
 
 WIDTH, HEIGHT = 1920, 1080
 
+#: filled row by row; the watchdog prints whatever completed before dying
+RESULTS: dict = {}
+
+
+def _emit(note: str = ""):
+    head = RESULTS.get(HEADLINE) or (list(RESULTS.values())[-1]
+                                     if RESULTS else None)
+    desc = "; ".join(
+        f"{name}[{r['cells']}c,{r['framing']},cov={r['coverage']}]: "
+        f"{r['mray_full']} full / {r['mray_traced']} traced Mray/s, "
+        f"{r['fps']} fps, tf-edit {r['tf_edit_s']}s"
+        for name, r in RESULTS.items())
+    if note:
+        desc = f"{note}; {desc}"
+    print(json.dumps({
+        "metric": f"Mray/s full-frame, {WIDTH}x{HEIGHT} fast raygen "
+                  f"(radial-band Woodcock + column cache), headline="
+                  f"{HEADLINE}; {desc}",
+        "value": head["mray_full"] if head else 0.0,
+        "unit": "Mray/s",
+        "vs_baseline": round((head["mray_full"] if head else 0.0) / 1000.0, 4),
+    }), flush=True)
+
 
 def _install_watchdog():
-    """The TPU worker can wedge (see README gotchas); emit a diagnostic
-    JSON line instead of hanging forever if that happens mid-bench."""
+    """The TPU worker can wedge (see README gotchas); emit the rows that
+    DID complete instead of hanging forever if that happens mid-bench."""
     import signal
 
     def on_alarm(signum, frame):
-        print(json.dumps({
-            "metric": "Mray/s (BENCH WATCHDOG: TPU worker unresponsive; "
-                      "see README 'Hardware gotchas')",
-            "value": 0.0, "unit": "Mray/s", "vs_baseline": 0.0,
-        }), flush=True)
-        os._exit(2)
+        _emit(note="BENCH WATCHDOG fired mid-run (TPU worker unresponsive "
+                   "or a row overran; see README 'Hardware gotchas')")
+        os._exit(2 if not RESULTS else 0)
 
     signal.signal(signal.SIGALRM, on_alarm)
     # generous default: COLD compiles of the fused render loop through the
-    # remote-compile tunnel take ~7-8 min EACH and this harness runs
-    # several scales; warm-cache full runs finish in a few minutes
+    # remote-compile tunnel take ~7-8 min EACH, the R2B9 host build is
+    # minutes more, and this harness runs several scales; warm-cache full
+    # runs finish in a few minutes
     signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "3300")))
 
 
@@ -167,14 +188,92 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
     }
 
 
-# (name, icosphere subdiv, layers, timed iters, framing)
+def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
+                chunk: int, spr: int) -> dict:
+    """Quantized-tier row (the single-chip north-star scale: R2B9 @1080p).
+    Same camera/metrics contract as bench_row."""
+    from icon_rt_tpu.data.bigscene import (build_locator_csr_from_scene,
+                                           synth_quantized_cached, to_device)
+    from icon_rt_tpu.models.qcells import bake_alpha_q
+    from icon_rt_tpu.ops.fastq import render_frame_fast_q
+
+    sc = synth_quantized_cached(subdiv, num_layers)
+    tf = make_transfunc(value_range=tuple(sc.stats.data_range))
+    q, bands = to_device(sc)
+    q = bake_alpha_q(q, tf)
+    bands = update_band_majorants(bands, tf.values, tf.value_range)
+    loc, k_cap = build_locator_csr_from_scene(sc)
+    stats = sc.stats
+    cam = _camera(stats, framing)
+    unit_distance = 10.0 ** (np.floor(
+        np.log10(stats.spherical_bounds_lo[0])) - 3)
+    lp = make_launch_params(cam.basis(WIDTH, HEIGHT), stats.world_bounds_lo,
+                            stats.world_bounds_hi,
+                            unit_distance=unit_distance)
+    accum, fb = alloc_frame(WIDTH, HEIGHT)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], WIDTH, HEIGHT)
+    inv = inverse_order(perm)
+    perm = jnp.asarray(perm)
+    total = WIDTH * HEIGHT
+    n_traced = min(total, -(-max(n_active, 1) // chunk) * chunk)
+
+    def step(s, accum, fb):
+        return render_frame_fast_q(q, loc, k_cap, bands, tf,
+                                   lp._replace(accum_id=jnp.int32(s)),
+                                   accum, fb, width=WIDTH, height=HEIGHT,
+                                   pixel_perm=perm, n_active=n_active,
+                                   chunk=chunk, steps_per_refresh=spr)
+
+    accum, fb = step(0, accum, fb)
+    cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
+
+    t0 = time.perf_counter()
+    for s in range(1, 1 + iters):
+        accum, fb = step(s, accum, fb)
+    cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
+    dt = time.perf_counter() - t0
+
+    # TF edit on the quantized tier: 256-entry table bake + u8 table
+    # lookup over (N, Lm) + band majorants + one frame
+    def tf_edit(scale):
+        tf2 = tf._replace(opacity_scale=jnp.float32(scale))
+        q2 = bake_alpha_q(q, tf2)
+        bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
+        a2, f2 = render_frame_fast_q(q2, loc, k_cap, bands2, tf2,
+                                     lp._replace(accum_id=jnp.int32(0)),
+                                     *alloc_frame(WIDTH, HEIGHT),
+                                     width=WIDTH, height=HEIGHT,
+                                     pixel_perm=perm, n_active=n_active,
+                                     chunk=chunk, steps_per_refresh=spr)
+        np.asarray(f2)
+
+    tf_edit(0.9)
+    t0 = time.perf_counter()
+    tf_edit(0.8)
+    dt_edit = time.perf_counter() - t0
+
+    return {
+        "cells": int(sc.num_cells),
+        "framing": framing + "/quantized",
+        "coverage": round(cov, 3),
+        "mray_full": round(total * iters / dt / 1e6, 2),
+        "mray_traced": round(n_traced * iters / dt / 1e6, 2),
+        "fps": round(iters / dt, 2),
+        "tf_edit_s": round(dt_edit, 3),
+    }
+
+
+# (name, icosphere subdiv, layers, timed iters, framing, tier)
 ALL_ROWS = [
-    ("r2b4_closeup", 5, 16, 8, "closeup"),   # 20,480 cells
-    ("r2b4_viewall", 5, 16, 8, "viewall"),   # reference-default framing
-    ("r2b7_closeup", 7, 16, 4, "closeup"),   # 327,680 cells
-    ("r2b8_closeup", 8, 16, 4, "closeup"),   # 1,310,720 cells
+    ("r2b4_closeup", 5, 16, 8, "closeup", "f32"),   # 20,480 cells
+    ("r2b4_viewall", 5, 16, 8, "viewall", "f32"),   # reference-default framing
+    ("r2b7_closeup", 7, 16, 4, "closeup", "f32"),   # 327,680 cells
+    ("r2b8_closeup", 8, 16, 4, "closeup", "f32"),   # 1,310,720 cells
+    ("r2b8q_closeup", 8, 16, 4, "closeup", "q"),    # quantized-tier overhead
+    ("r2b9q_closeup", 11, 16, 2, "closeup", "q"),   # 83,886,080 cells
 ]
-HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b8_closeup")
+HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b9q_closeup")
 
 
 def main():
@@ -184,25 +283,17 @@ def main():
     only = os.environ.get("BENCH_ROWS")  # comma-separated row names
     rows = [r for r in ALL_ROWS if only is None or r[0] in only.split(",")]
 
-    results = {}
-    for name, subdiv, layers, iters, framing in rows:
-        results[name] = bench_row(subdiv, layers, iters, framing, chunk, spr)
-        print(f"# {name}: {results[name]}", file=sys.stderr, flush=True)
+    failures = []
+    for name, subdiv, layers, iters, framing, tier in rows:
+        try:
+            fn = bench_row_q if tier == "q" else bench_row
+            RESULTS[name] = fn(subdiv, layers, iters, framing, chunk, spr)
+            print(f"# {name}: {RESULTS[name]}", file=sys.stderr, flush=True)
+        except Exception as e:  # a failed row must not eat the others
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+            print(f"# {name} FAILED: {e}", file=sys.stderr, flush=True)
 
-    head = results.get(HEADLINE) or results[rows[-1][0]]
-    desc = "; ".join(
-        f"{name}[{r['cells']}c,{r['framing']},cov={r['coverage']}]: "
-        f"{r['mray_full']} full / {r['mray_traced']} traced Mray/s, "
-        f"{r['fps']} fps, tf-edit {r['tf_edit_s']}s"
-        for name, r in results.items())
-    print(json.dumps({
-        "metric": f"Mray/s full-frame, {WIDTH}x{HEIGHT} fast raygen "
-                  f"(radial-band Woodcock + column cache), headline="
-                  f"{HEADLINE}; {desc}",
-        "value": head["mray_full"],
-        "unit": "Mray/s",
-        "vs_baseline": round(head["mray_full"] / 1000.0, 4),
-    }))
+    _emit(note="; ".join(failures) if failures else "")
 
 
 if __name__ == "__main__":

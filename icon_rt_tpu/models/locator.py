@@ -45,6 +45,120 @@ class Locator(NamedTuple):
         return self.bins.shape[1]
 
 
+class LocatorCSR(NamedTuple):
+    """Memory-proportional locator for very large grids (R2B9: a dense
+    (n_bins, K_max) table pays K_max for every bin; CSR pays only the true
+    occupancy).  Entries of one bin are contiguous in `items`; a query
+    gathers `k_cap` consecutive ids from `starts[bin]` and masks by
+    `counts[bin]`.  k_cap == max occupancy, so queries see every candidate."""
+    starts: jnp.ndarray    # (n_lat * n_lon,) i32 offset into items
+    counts: jnp.ndarray    # (n_lat * n_lon,) i32
+    items: jnp.ndarray     # (M,) i32 cell ids, bin-major, ascending per bin
+    lat_lo: jnp.ndarray
+    lat_hi: jnp.ndarray
+    lon_lo: jnp.ndarray
+    lon_hi: jnp.ndarray
+    dims: jnp.ndarray      # (2,) i32 (n_lat, n_lon)
+
+
+def _bbox_entries(ds: ICDataset, n_lat: int, n_lon: int,
+                  lat_lo, lat_hi, lon_lo, lon_hi) -> np.ndarray:
+    """(M, 2) i64 (bin_id, cell_id) pairs sorted by (bin, cell id) — the
+    shared core of the dense and CSR builders.
+
+    Fully vectorized (repeat-based rectangle expansion + one packed-key
+    sort): the per-offset masking loop of round 1 was O(max_span * N) and
+    polar cells span THOUSANDS of lon bins at R2B9."""
+    n = ds.num_cells
+
+    def lat_bin(v):
+        return np.clip(((v - lat_lo) / (lat_hi - lat_lo) * n_lat).astype(np.int64),
+                       0, n_lat - 1)
+
+    def lon_bin(v):
+        return np.clip(((v - lon_lo) / (lon_hi - lon_lo) * n_lon).astype(np.int64),
+                       0, n_lon - 1)
+
+    la0 = lat_bin(ds.lat.min(axis=1))
+    la1 = lat_bin(ds.lat.max(axis=1))
+    lo_min = ds.lon.min(axis=1)
+    lo_max = ds.lon.max(axis=1)
+    crossing = (lo_max - lo_min) > np.pi
+
+    ids = np.arange(n, dtype=np.int64)
+    reg = ~crossing
+    # range records: (cell, la0, la1, lb0, lb1); dateline-crossing cells
+    # (lon span > pi) contribute two wrapped lon ranges
+    recs = [np.stack([ids[reg], la0[reg], la1[reg],
+                      lon_bin(lo_min[reg]), lon_bin(lo_max[reg])], axis=1)]
+    if crossing.any():
+        c = crossing
+        nc = int(c.sum())
+        pos_min = np.where(ds.lon[c] > 0, ds.lon[c], np.inf).min(axis=1)
+        neg_max = np.where(ds.lon[c] < 0, ds.lon[c], -np.inf).max(axis=1)
+        recs.append(np.stack([ids[c], la0[c], la1[c], lon_bin(pos_min),
+                              np.full(nc, n_lon - 1, np.int64)], axis=1))
+        recs.append(np.stack([ids[c], la0[c], la1[c],
+                              np.zeros(nc, np.int64), lon_bin(neg_max)], axis=1))
+    rec = np.concatenate(recs, axis=0)
+    if not len(rec):
+        return np.zeros((0, 2), np.int64)
+
+    wla = rec[:, 2] - rec[:, 1] + 1
+    wlo = rec[:, 4] - rec[:, 3] + 1
+    cnt = wla * wlo
+    m = int(cnt.sum())
+    starts = np.zeros(len(rec), np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    r = np.repeat(np.arange(len(rec), dtype=np.int64), cnt)
+    o = np.arange(m, dtype=np.int64) - starts[r]
+    wlo_r = wlo[r]
+    dla = o // wlo_r
+    dlo = o - dla * wlo_r
+    b = (rec[r, 1] + dla) * n_lon + (rec[r, 3] + dlo)
+    cell = rec[r, 0]
+    # one packed-key sort gives (bin, cell) lexicographic order
+    key = b * np.int64(n + 1) + cell
+    key.sort(kind="stable")
+    b = key // np.int64(n + 1)
+    cell = key - b * np.int64(n + 1)
+    return np.stack([b, cell], axis=1)
+
+
+def build_locator_csr(ds: ICDataset, dims: tuple[int, int] | None = None,
+                      pad: float = 1e-4) -> tuple[LocatorCSR, int]:
+    """CSR locator; returns (locator, k_cap) where k_cap is the true max
+    bin occupancy (static — one compile per scene).  Default resolution is
+    sqrt(N/2) per axis (mean occupancy ~4-8): at R2B9 the dense table would
+    cost n_bins * K_max words, CSR costs n_bins + M."""
+    n = ds.num_cells
+    if dims is None:
+        side = max(1, int(np.sqrt(max(n, 1) / 2)))
+        dims = (side, side)
+    n_lat, n_lon = dims
+    lat_lo = float(ds.lat.min()) - pad if n else -np.pi / 2
+    lat_hi = float(ds.lat.max()) + pad if n else np.pi / 2
+    lon_lo = float(ds.lon.min()) - pad if n else -np.pi
+    lon_hi = float(ds.lon.max()) + pad if n else np.pi
+
+    all_e = _bbox_entries(ds, n_lat, n_lon, lat_lo, lat_hi, lon_lo, lon_hi)
+    n_bins = n_lat * n_lon
+    counts = np.bincount(all_e[:, 0], minlength=n_bins).astype(np.int64)
+    starts = np.zeros(n_bins, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    k_cap = int(counts.max()) if len(all_e) else 1
+    loc = LocatorCSR(
+        starts=jnp.asarray(starts.astype(np.int32)),
+        counts=jnp.asarray(counts.astype(np.int32)),
+        items=jnp.asarray(all_e[:, 1].astype(np.int32)) if len(all_e)
+        else jnp.zeros((1,), jnp.int32),
+        lat_lo=jnp.float32(lat_lo), lat_hi=jnp.float32(lat_hi),
+        lon_lo=jnp.float32(lon_lo), lon_hi=jnp.float32(lon_hi),
+        dims=jnp.asarray([n_lat, n_lon], jnp.int32),
+    )
+    return loc, k_cap
+
+
 def build_locator(ds: ICDataset, dims: tuple[int, int] | None = None,
                   pad: float = 1e-4, use_native: bool = True) -> Locator:
     """Bin cells by their (lat, lon) corner bounding boxes.
@@ -78,48 +192,8 @@ def build_locator(ds: ICDataset, dims: tuple[int, int] | None = None,
                 dims=jnp.asarray([n_lat, n_lon], jnp.int32),
             )
 
-    def lat_bin(v):
-        return np.clip(((v - lat_lo) / (lat_hi - lat_lo) * n_lat).astype(np.int64),
-                       0, n_lat - 1)
-
-    def lon_bin(v):
-        return np.clip(((v - lon_lo) / (lon_hi - lon_lo) * n_lon).astype(np.int64),
-                       0, n_lon - 1)
-
-    la0 = lat_bin(ds.lat.min(axis=1))
-    la1 = lat_bin(ds.lat.max(axis=1))
-
-    # lon ranges; dateline-crossing cells (span > pi) insert two wrapped ranges
-    lo_min = ds.lon.min(axis=1)
-    lo_max = ds.lon.max(axis=1)
-    crossing = (lo_max - lo_min) > np.pi
-
-    entries = []  # (bin_id, cell_id) pairs, built per-axis-offset vectorized
-
-    def insert(cell_ids, la0s, la1s, lb0s, lb1s):
-        for dla in range(int((la1s - la0s).max()) + 1 if len(cell_ids) else 0):
-            sel_a = dla <= (la1s - la0s)
-            for dlo in range(int((lb1s - lb0s).max()) + 1 if len(cell_ids) else 0):
-                sel = sel_a & (dlo <= (lb1s - lb0s))
-                b = (la0s[sel] + dla) * n_lon + (lb0s[sel] + dlo)
-                entries.append(np.stack([b, cell_ids[sel]], axis=1))
-
-    ids = np.arange(n, dtype=np.int64)
-    reg = ~crossing
-    insert(ids[reg], la0[reg], la1[reg], lon_bin(lo_min[reg]), lon_bin(lo_max[reg]))
-    if crossing.any():
-        c = crossing
-        # eastern part: [max of negative-side ... pi] -> use min of lons > 0
-        pos_min = np.where(ds.lon[c] > 0, ds.lon[c], np.inf).min(axis=1)
-        neg_max = np.where(ds.lon[c] < 0, ds.lon[c], -np.inf).max(axis=1)
-        insert(ids[c], la0[c], la1[c], lon_bin(pos_min), np.full(c.sum(), n_lon - 1))
-        insert(ids[c], la0[c], la1[c], np.zeros(c.sum(), np.int64), lon_bin(neg_max))
-
-    if entries:
-        all_e = np.concatenate(entries, axis=0)
-        # sort by (bin, cell id) so candidate order == ascending cell id
-        order = np.lexsort((all_e[:, 1], all_e[:, 0]))
-        all_e = all_e[order]
+    all_e = _bbox_entries(ds, n_lat, n_lon, lat_lo, lat_hi, lon_lo, lon_hi)
+    if len(all_e):
         bin_ids, counts = np.unique(all_e[:, 0], return_counts=True)
         k = int(counts.max())
         bins = np.full((n_lat * n_lon, k), -1, np.int32)

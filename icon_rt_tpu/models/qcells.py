@@ -1,0 +1,173 @@
+"""Quantized device cells — the single-chip R2B9 tier.
+
+The f32 fast-path tables (ops/fast.PackedCells) cost 64 + 640 bytes/cell;
+at R2B9 (84M columns, the north-star scale the reference builds on one GPU,
+ref: icon_rt/hostCode.cu:639-645) that is ~59 GB — far past one v5e's HBM.
+This tier stores the same information quantized:
+
+  test12   (N, 12) f32 — 3 side-plane NORMALS (the planes pass through the
+           origin because column edges are radial, so w == 0 exactly and is
+           not stored) + h_bot + h_top + num_layers.          48 B/cell
+  h_frac   (N, Lm) u16 — per-layer ceiling heights normalized to
+           [h_bot, h_top] (error ~0.5 m at a 30 km column).    2 Lm B/cell
+  value_q  (N, Lm) u8 — layer scalars normalized to the global data range.
+           TF-independent: never re-baked on TF edits.          Lm B/cell
+  alpha_q  (N, Lm) u8 — post-classified alpha (incl. opacity scale),
+           normalized by alpha_max, FLOOR-quantized so every value stays
+           <= the true alpha <= the band majorant (conservativeness of the
+           Woodcock acceptance test survives quantization).     Lm B/cell
+
+Lm trims the MAX_LAYERS=32 padding to the next multiple of 8 >= the real
+layer count.  At Lm=16, R2B9 totals ~8.4 GB + locator.
+
+TF edits re-bake ONLY alpha_q — through a 256-entry table (one entry per
+distinct quantized value) instead of the 54 GB full-profile rewrite of the
+f32 path.  RGB is never baked: the shader classifies the accepted sample's
+dequantized value through the live LUT (one small gather per finished ray).
+
+Fidelity: the rendered field is the value/height-quantized field — the
+estimator stays unbiased for THAT field, which differs from the exact one
+by <= half a quantization step (documented fast-path deviation; the parity
+raygens remain exact).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.icfile import ICDataset, MAX_LAYERS
+from .cells import _corner_xyz, _np_plane
+from .transfunc import Transfunc
+
+F = np.float32
+
+
+class QuantizedCells(NamedTuple):
+    test12: jnp.ndarray    # (N, 12) f32: n1 n2 n3 (9) + h_bot h_top nl
+    h_frac: jnp.ndarray    # (N, Lm) u16
+    value_q: jnp.ndarray   # (N, Lm) u8
+    alpha_q: jnp.ndarray   # (N, Lm) u8
+    value_lo: jnp.ndarray  # () f32
+    value_hi: jnp.ndarray  # () f32
+    alpha_max: jnp.ndarray  # () f32 dequant scale for alpha_q
+
+    @property
+    def num_cells(self) -> int:
+        return self.test12.shape[0]
+
+    @property
+    def lm(self) -> int:
+        return self.h_frac.shape[1]
+
+
+def quantize_dataset_values(ds: ICDataset) -> tuple[ICDataset, float, float]:
+    """Round ds.value to the 256-level grid IN the dataset, so every
+    consumer (radial-band value ranges, stats, renders) sees the exact
+    field the quantized renderer samples — majorants stay conservative."""
+    mask = np.arange(MAX_LAYERS)[None, :] < ds.num_layers[:, None]
+    # min/max via where (a boolean fancy-index gather over (N, 32) costs
+    # minutes at R2B9; where+reduce is pure bandwidth)
+    if ds.num_cells:
+        lo = float(np.where(mask, ds.value, np.float32(np.inf)).min())
+        hi = float(np.where(mask, ds.value, np.float32(-np.inf)).max())
+    else:
+        lo, hi = 0.0, 1.0
+    if not hi > lo:
+        hi = lo + 1.0
+    q = np.clip(np.rint((ds.value - lo) / (hi - lo) * 255.0), 0, 255)
+    value = (lo + q * ((hi - lo) / 255.0)).astype(F)
+    import dataclasses
+    ds_q = dataclasses.replace(ds, value=np.where(mask, value, 0.0).astype(F))
+    return ds_q, lo, hi
+
+
+def quantize_cells(ds: ICDataset, lm: int | None = None,
+                   value_range: tuple[float, float] | None = None
+                   ) -> QuantizedCells:
+    """Host-side quantization (numpy, slab-friendly); alpha_q starts at 0 —
+    call bake_alpha_q with a transfer function before rendering.
+
+    value_range: pass the (lo, hi) from an earlier quantize_dataset_values
+    to skip the redundant re-snap pass (minutes at R2B9)."""
+    n = ds.num_cells
+    idx = np.arange(n)
+    h_bot = ds.height[:, 0].astype(F)
+    h_top = ds.height[idx, ds.num_layers].astype(F)
+    if lm is None:
+        lm = int(ds.num_layers.max()) if n else 1
+        lm = max(8, -(-lm // 8) * 8)
+    assert lm >= int(ds.num_layers.max() if n else 0)
+
+    bv = _corner_xyz(ds, h_bot)
+    tv = _corner_xyz(ds, h_top)
+    # planes through (bv_i, bv_j, tv_j), CCW (ref: icon_rt/ICONGrid.h:197-199)
+    p1 = _np_plane(bv[:, 0], bv[:, 1], tv[:, 1])
+    p2 = _np_plane(bv[:, 1], bv[:, 2], tv[:, 2])
+    p3 = _np_plane(bv[:, 2], bv[:, 0], tv[:, 0])
+
+    test12 = np.empty((n, 12), F)
+    test12[:, 0:3] = p1[:, :3]
+    test12[:, 3:6] = p2[:, :3]
+    test12[:, 6:9] = p3[:, :3]
+    test12[:, 9] = h_bot
+    test12[:, 10] = h_top
+    test12[:, 11] = ds.num_layers.astype(F)
+
+    # per-layer CEILING heights h[1..lm] normalized to [h_bot, h_top]
+    span = np.maximum(h_top - h_bot, 1e-6).astype(F)
+    ceil_h = ds.height[:, 1:lm + 1].astype(F)  # (N, lm); garbage past nl
+    hf = np.clip(np.rint((ceil_h - h_bot[:, None]) / span[:, None] * 65535.0),
+                 0, 65535).astype(np.uint16)
+    k = np.arange(1, lm + 1)
+    valid = k[None, :] <= ds.num_layers[:, None]
+    hf = np.where(valid, hf, np.uint16(65535))
+
+    if value_range is None:
+        ds_q, lo, hi = quantize_dataset_values(ds)
+    else:
+        ds_q, (lo, hi) = ds, value_range
+    vq = np.clip(np.rint((ds_q.value[:, :lm] - lo)
+                         * (np.float32(255.0) / np.float32(hi - lo))),
+                 0, 255).astype(np.uint8)
+
+    return QuantizedCells(
+        test12=jnp.asarray(test12),
+        h_frac=jnp.asarray(hf),
+        value_q=jnp.asarray(vq),
+        alpha_q=jnp.zeros((n, lm), jnp.uint8),
+        value_lo=jnp.float32(lo), value_hi=jnp.float32(hi),
+        alpha_max=jnp.float32(1.0),
+    )
+
+
+def _classify_alpha_table(tf: Transfunc, value_lo, value_hi) -> jnp.ndarray:
+    """(256,) classified alpha of each dequantized value level — the exact
+    postClassify arithmetic (ref: deviceCode.cu:127-135), alpha channel."""
+    levels = value_lo + jnp.arange(256, dtype=jnp.float32) / 255.0 \
+        * (value_hi - value_lo)
+    size = tf.size
+    vn = (levels - tf.value_range[0]) / (tf.value_range[1] - tf.value_range[0])
+    vs = vn * jnp.float32(size)
+    idx = vs.astype(jnp.int32)
+    frac = vs - idx.astype(jnp.float32)
+    i1 = jnp.clip(idx, 0, size - 1)
+    i2 = jnp.clip(idx + 1, 0, size - 1)
+    lut_a = tf.values[:, 3]
+    return lut_a[i1] * frac + lut_a[i2] * (1.0 - frac) \
+        * tf.opacity_scale.astype(jnp.float32)
+
+
+@jax.jit
+def bake_alpha_q(q: QuantizedCells, tf: Transfunc) -> QuantizedCells:
+    """TF-edit hook of the quantized tier (analog of the f32 path's full
+    profile re-bake, ref: hostCode.cu:878-909): one 256-entry table bake +
+    a u8 table lookup over (N, Lm).  Floor quantization keeps every stored
+    alpha <= the true alpha, preserving majorant conservativeness."""
+    a_tab = _classify_alpha_table(tf, q.value_lo, q.value_hi)
+    a_max = jnp.maximum(jnp.max(a_tab), jnp.float32(1e-8))
+    q_tab = jnp.floor(a_tab / a_max * 255.0).astype(jnp.uint8)
+    alpha_q = q_tab[q.value_q.astype(jnp.int32)]
+    return q._replace(alpha_q=alpha_q, alpha_max=a_max)

@@ -55,9 +55,14 @@ def build_radial_bands(ds: ICDataset, num_bands: int = 64) -> RadialBands:
     from .accel import _rasterize   # native scatter-min/max, 1-D grid
     for L in range(max_l):
         sel = ds.num_layers > L
-        h0 = ds.height[sel, L]
-        h1 = ds.height[sel, L + 1]
-        v = ds.value[sel, L].astype(F)
+        if sel.all():   # uniform layer count: skip the (slow) fancy index
+            h0 = ds.height[:, L]
+            h1 = ds.height[:, L + 1]
+            v = ds.value[:, L].astype(F)
+        else:
+            h0 = ds.height[sel, L]
+            h1 = ds.height[sel, L + 1]
+            v = ds.value[sel, L].astype(F)
         b0 = np.clip(((h0 - r_lo) / span * num_bands).astype(np.int64), 0, num_bands - 1)
         b1 = np.clip(((h1 - r_lo) / span * num_bands).astype(np.int64), 0, num_bands - 1)
         n = b0.shape[0]

@@ -183,15 +183,17 @@ def _classified_at(prof, r):
     return rr, gg, bb, aa
 
 
-def _alpha_at(prof, r):
+def _alpha_at(prof, r, ml: int = MAX_LAYERS, a_off: int = 4 * MAX_LAYERS):
     """Classified ALPHA only (the per-step need); RGB of an accepted sample
-    is recovered once after the loop from the frozen (c_prof, t) state."""
-    ml = MAX_LAYERS
+    is recovered once after the loop from the frozen (c_prof, t) state.
+    ml/a_off parameterize the profile-cache layout (the f32 path caches
+    h|R|G|B|A at MAX_LAYERS width; the quantized tier caches h|A|V at the
+    trimmed layer width)."""
     hh = prof[:, :ml]
     layer = jnp.sum((r[:, None] > hh).astype(jnp.int32), axis=1)
     ids = jax.lax.broadcasted_iota(jnp.int32, (hh.shape[0], ml), 1)
     oh = (ids == layer[:, None]).astype(F32)
-    return jnp.sum(oh * prof[:, 4 * ml:5 * ml], axis=1)
+    return jnp.sum(oh * prof[:, a_off:a_off + ml], axis=1)
 
 
 def _select_band(arr, b):
@@ -245,7 +247,8 @@ def _band_of(r, edges, nb):
 
 
 def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
-              nb: int) -> _State:
+              nb: int, ml: int = MAX_LAYERS,
+              a_off: int = 4 * MAX_LAYERS) -> _State:
     """One gather-free iteration of the tracking machine.
 
     Lane lifecycle per Woodcock sample:
@@ -298,7 +301,7 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
         & _point_in_test_row(s.c_test, px, py, pz, r)
     to_pending = samp_new & ~in_cache
     hit_vol = in_cache | (in_eval & (s.c_hit != 0))
-    aa = _alpha_at(s.c_prof, r)
+    aa = _alpha_at(s.c_prof, r, ml, a_off)
     rng2, uu = lcg_next(rng_a)
     rng_b = jnp.where(hit_vol, rng2, rng_a)
     accept = hit_vol & (aa >= uu * s.m)
@@ -435,7 +438,8 @@ def _raygen_soa(lp, xs, ys, width, height):
     return dx, dy, dz, od, rng
 
 
-def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb):
+def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
+                prof_w: int = PROF_W):
     """Full per-lane initialization: raygen + shell clip + first band.
     Returns (_State, _Consts, wrote) for a batch of pixels."""
     dx, dy, dz, od, rng = _raygen_soa(lp, xs, ys, width, height)
@@ -475,7 +479,7 @@ def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb):
         was_in=was_in0.astype(jnp.int32), m=m0, si=si0,
         pending=zero_i,
         c_test=jnp.zeros((L, 16), F32),
-        c_prof=jnp.full((L, PROF_W), jnp.float32(np.inf), F32),
+        c_prof=jnp.full((L, prof_w), jnp.float32(np.inf), F32),
         c_hit=zero_i, in_eval=zero_i, c_valid=zero_i,
         rng=rng,
         alpha=jnp.zeros(L, F32),

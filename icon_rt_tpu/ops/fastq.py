@@ -1,0 +1,229 @@
+"""Quantized fast raygen — the R2B9 single-chip tier.
+
+Same tracking machine as ops/fast.py (radial-band Woodcock + column-resident
+sampling; identical step_core, parameterized to the h|A|V profile-cache
+layout), different storage plane:
+
+  * cells: models/qcells.QuantizedCells (48 B + 4*Lm B per cell vs 704 B)
+  * locator: models/locator.LocatorCSR (memory-proportional candidate lists)
+  * refresh: gathers quantized rows and DEQUANTIZES into the same f32
+    per-lane caches the step loop reads — the hot loop never sees u8/u16.
+  * shading: the accepted sample's dequantized value is classified through
+    the LIVE transfer-function LUT (one small gather per finished ray), so
+    RGB needs no bake at all; TF edits re-bake only alpha_q
+    (models/qcells.bake_alpha_q).
+
+The estimator is delta tracking on the quantized field — unbiased for that
+field; quantization deltas are <= half a level (docs/PARITY.md).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.locator import LocatorCSR
+from ..models.qcells import QuantizedCells
+from ..models.shells import RadialBands
+from ..models.transfunc import Transfunc, post_classify
+from .fast import F32, _Consts, _State, _init_lanes, step_core
+
+__all__ = ["render_fast_q", "render_frame_fast_q"]
+
+
+def _expand_test16(t12):
+    """(L, 12) storage row -> (L, 16) step-cache layout
+    ((nx,ny,nz,w)x3 + h_bot + h_top + nl + pad), w == 0 exactly (side
+    planes pass through the origin: column edges are radial)."""
+    L = t12.shape[0]
+    z = jnp.zeros((L, 1), F32)
+    return jnp.concatenate(
+        [t12[:, 0:3], z, t12[:, 3:6], z, t12[:, 6:9], z,
+         t12[:, 9:12], z], axis=1)
+
+
+def _refresh_q(s: _State, c: _Consts, loc: LocatorCSR, q: QuantizedCells,
+               k_cap: int, org, oo) -> _State:
+    """Batched CSR locator query + dequantizing cache fill for pending
+    lanes.  Gathers: starts/counts, k_cap candidate ids, k_cap test rows,
+    and the winner's h/alpha/value rows."""
+    ox, oy, oz = org
+    lm = q.lm
+    n_lat = loc.dims[0]
+    n_lon = loc.dims[1]
+    pend = s.pending != 0
+    px = ox + c.dx * s.t
+    py = oy + c.dy * s.t
+    pz = oz + c.dz * s.t
+    r = jnp.sqrt(jnp.maximum(oo + 2.0 * s.t * c.od + s.t * s.t, 1e-30))
+    lat = jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0))
+    lon = jnp.arctan2(py, px)
+    bl = jnp.clip(((lat - loc.lat_lo) / (loc.lat_hi - loc.lat_lo)
+                   * n_lat.astype(F32)).astype(jnp.int32), 0, n_lat - 1)
+    bo = jnp.clip(((lon - loc.lon_lo) / (loc.lon_hi - loc.lon_lo)
+                   * n_lon.astype(F32)).astype(jnp.int32), 0, n_lon - 1)
+    bid = jnp.where(pend, bl * n_lon + bo, 0)
+    start = loc.starts[bid]                          # (L,) gather
+    count = loc.counts[bid]                          # (L,) gather
+    m_items = loc.items.shape[0]
+    j = jax.lax.broadcasted_iota(jnp.int32, (bid.shape[0], k_cap), 1)
+    pos_idx = jnp.minimum(start[:, None] + j, m_items - 1)
+    cand = loc.items[pos_idx]                        # (L, K) gather
+    valid = j < count[:, None]
+    safe = jnp.maximum(cand, 0)
+    trows = q.test12[safe]                           # (L, K, 12) gather
+    ev1 = (trows[..., 0] * px[:, None] + trows[..., 1] * py[:, None]
+           + trows[..., 2] * pz[:, None])
+    ev2 = (trows[..., 3] * px[:, None] + trows[..., 4] * py[:, None]
+           + trows[..., 5] * pz[:, None])
+    ev3 = (trows[..., 6] * px[:, None] + trows[..., 7] * py[:, None]
+           + trows[..., 8] * pz[:, None])
+    inside = (valid & (r[:, None] >= trows[..., 9])
+              & (r[:, None] <= trows[..., 10])
+              & (ev1 <= 0.0) & (ev2 <= 0.0) & (ev3 <= 0.0))
+    hit = jnp.any(inside, axis=1)
+    slot = jnp.argmax(inside, axis=1)
+    k_oh = (jnp.arange(k_cap)[None, :] == slot[:, None])
+    cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
+    t12 = jnp.sum(jnp.where(k_oh[..., None], trows, 0.0), axis=1)  # (L, 12)
+
+    cid2 = jnp.where(pend & hit, cid, 0)
+    h_bot = t12[:, 9]
+    h_top = t12[:, 10]
+    nl = t12[:, 11].astype(jnp.int32)
+    hf = q.h_frac[cid2].astype(F32)                  # (L, Lm) gather
+    heights = h_bot[:, None] + hf * ((h_top - h_bot)[:, None]
+                                     * jnp.float32(1.0 / 65535.0))
+    k1 = jax.lax.broadcasted_iota(jnp.int32, heights.shape, 1) + 1
+    heights = jnp.where(k1 <= nl[:, None], heights, jnp.float32(np.inf))
+    aa = q.alpha_q[cid2].astype(F32) * (q.alpha_max / 255.0)  # (L, Lm)
+    vv = q.value_lo + q.value_q[cid2].astype(F32) \
+        * ((q.value_hi - q.value_lo) / 255.0)                 # (L, Lm)
+    prof = jnp.concatenate([heights, aa, vv], axis=1)         # (L, 3*Lm)
+
+    upd_hit = pend & hit
+    return s._replace(
+        pending=jnp.zeros_like(s.pending),
+        c_test=jnp.where(upd_hit[:, None], _expand_test16(t12), s.c_test),
+        c_prof=jnp.where(upd_hit[:, None], prof, s.c_prof),
+        c_hit=upd_hit.astype(jnp.int32),
+        c_valid=((s.c_valid != 0) | upd_hit).astype(jnp.int32),
+    )
+
+
+def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, oo, lm: int):
+    """Composite color of a finished lane: the accepted sample's cached
+    dequantized VALUE classified through the live LUT (ref semantics:
+    deviceCode.cu:333-340; RGB classify at shade time replaces the f32
+    path's baked per-layer RGB)."""
+    got = s.alpha > 0.0
+    r = jnp.sqrt(jnp.maximum(oo + 2.0 * s.t * c.od + s.t * s.t, 1e-30))
+    hh = s.c_prof[:, :lm]
+    layer = jnp.sum((r[:, None] > hh).astype(jnp.int32), axis=1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (hh.shape[0], lm), 1)
+    oh = (ids == layer[:, None]).astype(F32)
+    v = jnp.sum(oh * s.c_prof[:, 2 * lm:3 * lm], axis=1)      # (L,)
+    rgba = post_classify(tf, v)                               # (L, 4) gather
+    amb_r = lp.ambient_color[0] * lp.ambient_radiance
+    amb_g = lp.ambient_color[1] * lp.ambient_radiance
+    amb_b = lp.ambient_color[2] * lp.ambient_radiance
+    zero = jnp.zeros_like(s.t)
+    return (jnp.where(got, rgba[:, 0] * amb_r, zero),
+            jnp.where(got, rgba[:, 1] * amb_g, zero),
+            jnp.where(got, rgba[:, 2] * amb_b, zero),
+            jnp.where(got, 1.0, 0.0))
+
+
+def render_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
+                  bands: RadialBands, tf: Transfunc, lp, xs, ys,
+                  width: int, height: int, steps_per_refresh: int = 8,
+                  max_outer: int = 16384):
+    """One progressive sample for a batch of pixels on the quantized tier.
+    Returns (wrote (L,) bool, color_alpha (L, 4) f32)."""
+    nb = bands.num_bands
+    edges = bands.edges
+    majors = bands.max_opacities
+    lm = q.lm
+
+    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
+    oo = ox * ox + oy * oy + oz * oz
+    org = (ox, oy, oz)
+    ud = lp.unit_distance
+
+    init, consts, wrote = _init_lanes(lp, xs, ys, width, height,
+                                      edges, majors, oo, nb, prof_w=3 * lm)
+
+    def refresh(s: _State) -> _State:
+        return _refresh_q(s, consts, loc, q, k_cap, org, oo)
+
+    def inner_phase(s: _State) -> _State:
+        return jax.lax.fori_loop(
+            0, steps_per_refresh,
+            lambda i, st: step_core(st, consts, edges, majors, org, oo, ud,
+                                    nb, ml=lm, a_off=lm),
+            s)
+
+    def outer_cond(carry):
+        s, it = carry
+        return jnp.any(s.done == 0) & (it < max_outer)
+
+    def outer_body(carry):
+        s, it = carry
+        s = jax.lax.cond(jnp.any(s.pending != 0), refresh, lambda x: x, s)
+        s = inner_phase(s)
+        return (s, it + 1)
+
+    out, _ = jax.lax.while_loop(outer_cond, outer_body, (init, jnp.int32(0)))
+    color_alpha = jnp.stack(_shade_q(out, consts, lp, tf, oo, lm), axis=-1)
+    return wrote, color_alpha
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "steps_per_refresh",
+                                    "chunk", "k_cap", "n_active"),
+                   donate_argnames=("accum", "fb"))
+def render_frame_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
+                        bands: RadialBands, tf: Transfunc, lp, accum, fb, *,
+                        width: int, height: int, steps_per_refresh: int = 8,
+                        chunk: int = 4096, pixel_perm=None,
+                        n_active: int | None = None):
+    """Full-frame progressive step on the quantized tier — drop-in peer of
+    ops/fast.render_frame_fast (same pixel_perm / n_active contract)."""
+    from .render import _finalize  # local import to avoid cycle
+
+    total = width * height
+    pix = jnp.arange(total, dtype=jnp.int32)
+    if pixel_perm is not None:
+        pix = pixel_perm
+    if n_active is not None and pixel_perm is not None:
+        n_proc = min(total, -(-max(n_active, 1) // chunk) * chunk)
+    else:
+        n_proc = total
+    pix = pix[:n_proc]
+    ys_all, xs_all = jnp.divmod(pix, width)
+
+    def run(xs, ys):
+        return render_fast_q(q, loc, k_cap, bands, tf, lp, xs, ys,
+                             width, height, steps_per_refresh)
+
+    if n_proc <= chunk:
+        wrote, ca = run(xs_all, ys_all)
+    else:
+        n = -(-n_proc // chunk)
+        pad = n * chunk - n_proc
+        if pad:
+            xs_all = jnp.concatenate([xs_all, jnp.zeros(pad, jnp.int32)])
+            ys_all = jnp.concatenate([ys_all, jnp.zeros(pad, jnp.int32)])
+        wrote, ca = jax.lax.map(
+            lambda cc: run(cc[0], cc[1]),
+            (xs_all.reshape(n, chunk), ys_all.reshape(n, chunk)))
+        wrote = wrote.reshape(-1)[:n_proc]
+        ca = ca.reshape(-1, 4)[:n_proc]
+    accum_head, fb_head = _finalize(wrote, ca, accum[:n_proc], fb[:n_proc],
+                                    lp.accum_id)
+    if n_proc == total:
+        return accum_head, fb_head
+    return (jnp.concatenate([accum_head, accum[n_proc:]]),
+            jnp.concatenate([fb_head, fb[n_proc:]]))

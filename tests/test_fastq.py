@@ -1,0 +1,147 @@
+"""Quantized fast raygen (the R2B9 tier): correctness vs the f32 fast path.
+
+The quantized tier renders the value/height-quantized field; tests assert
+(a) quantization round-trips within one level, (b) the alpha bake matches
+the exact postClassify alpha from below (floor), (c) the CSR locator
+returns the dense locator's candidate sets, and (d) converged images match
+the f32 fast path within quantization-level tolerance.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icon_rt_tpu.data import synthetic
+from icon_rt_tpu.models.cells import build_cells, compute_stats
+from icon_rt_tpu.models.locator import (build_locator, build_locator_csr,
+                                        sample_locator)
+from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
+                                       quantize_dataset_values)
+from icon_rt_tpu.models.shells import build_radial_bands, update_band_majorants
+from icon_rt_tpu.models.transfunc import make_transfunc, post_classify
+from icon_rt_tpu.ops.camera import Camera
+from icon_rt_tpu.ops.fast import pack_cells, render_frame_fast
+from icon_rt_tpu.ops.fastq import render_frame_fast_q
+from icon_rt_tpu.ops.render import alloc_frame, make_launch_params
+
+
+@pytest.fixture(scope="module")
+def scene():
+    ds = synthetic.icosphere(subdivisions=2, num_layers=5)
+    ds_q, lo, hi = quantize_dataset_values(ds)
+    stats = compute_stats(ds_q)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    q = bake_alpha_q(quantize_cells(ds_q), tf)
+    loc_csr, k_cap = build_locator_csr(ds_q)
+    bands = update_band_majorants(build_radial_bands(ds_q, 16),
+                                  tf.values, tf.value_range)
+    return ds_q, stats, tf, q, loc_csr, k_cap, bands
+
+
+def test_quantize_roundtrip():
+    ds = synthetic.icosphere(subdivisions=1, num_layers=4)
+    ds_q, lo, hi = quantize_dataset_values(ds)
+    mask = np.arange(ds.value.shape[1])[None, :] < ds.num_layers[:, None]
+    step = (hi - lo) / 255.0
+    assert np.abs(ds_q.value - ds.value)[mask].max() <= 0.5 * step + 1e-6
+    # idempotent up to fp rounding of the re-normalization
+    ds_q2, lo2, hi2 = quantize_dataset_values(ds_q)
+    assert lo2 == pytest.approx(lo) and hi2 == pytest.approx(hi)
+    np.testing.assert_allclose(ds_q2.value, ds_q.value, atol=1e-6)
+
+
+def test_height_quantization_error():
+    ds = synthetic.icosphere(subdivisions=1, num_layers=4)
+    q = quantize_cells(ds)
+    n = ds.num_cells
+    idx = np.arange(n)
+    h_bot = ds.height[:, 0]
+    h_top = ds.height[idx, ds.num_layers]
+    span = h_top - h_bot
+    hf = np.asarray(q.h_frac).astype(np.float64)
+    deq = h_bot[:, None] + hf / 65535.0 * span[:, None]
+    lm = q.lm
+    k = np.arange(1, lm + 1)
+    valid = k[None, :] <= ds.num_layers[:, None]
+    err = np.abs(deq - ds.height[:, 1:lm + 1])[valid]
+    assert err.max() <= span.max() / 65535.0 + 1e-3
+
+
+def test_alpha_bake_floor_conservative(scene):
+    ds_q, stats, tf, q, *_ = scene
+    # exact classified alpha of each stored value must be >= the baked one
+    lm = q.lm
+    vq = np.asarray(q.value_q).astype(np.float32)
+    v = float(q.value_lo) + vq / 255.0 * float(q.value_hi - q.value_lo)
+    exact = np.asarray(post_classify(tf, jnp.asarray(v.reshape(-1))))[:, 3]
+    baked = (np.asarray(q.alpha_q).astype(np.float32).reshape(-1)
+             / 255.0 * float(q.alpha_max))
+    assert (baked <= exact + 1e-6).all()
+    assert np.abs(baked - exact).max() <= float(q.alpha_max) / 255.0 + 1e-6
+
+
+def test_csr_locator_matches_dense(scene):
+    ds_q, *_ = scene
+    loc_csr, k_cap = build_locator_csr(ds_q)
+    loc = build_locator(ds_q, dims=(int(loc_csr.dims[0]), int(loc_csr.dims[1])))
+    starts = np.asarray(loc_csr.starts)
+    counts = np.asarray(loc_csr.counts)
+    items = np.asarray(loc_csr.items)
+    bins = np.asarray(loc.bins)
+    assert k_cap == bins.shape[1]
+    for b in range(0, starts.shape[0], max(1, starts.shape[0] // 97)):
+        dense = bins[b][bins[b] >= 0]
+        csr = items[starts[b]:starts[b] + counts[b]]
+        np.testing.assert_array_equal(np.sort(dense), np.sort(csr))
+
+
+def test_quantized_render_matches_fast(scene):
+    ds_q, stats, tf, q, loc_csr, k_cap, bands = scene
+    W = H = 48
+    cells = build_cells(ds_q)
+    from icon_rt_tpu.models.locator import build_locator as bl
+    loc = bl(ds_q)
+    packed = pack_cells(cells, tf)
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+
+    n_samp = 24
+    a1, f1 = alloc_frame(W, H)
+    a2, f2 = alloc_frame(W, H)
+    for s in range(n_samp):
+        lps = lp._replace(accum_id=jnp.int32(s))
+        a1, f1 = render_frame_fast(cells, packed, loc, bands, lps, a1, f1,
+                                   width=W, height=H)
+        a2, f2 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf, lps,
+                                     a2, f2, width=W, height=H)
+    a1 = np.asarray(a1)
+    a2 = np.asarray(a2)
+    # identical coverage footprint (geometry quantization is sub-meter)
+    cov1 = a1[:, 3] > 0
+    cov2 = a2[:, 3] > 0
+    assert (cov1 == cov2).mean() > 0.99
+    both = cov1 & cov2
+    # converged radiance matches within MC noise + one quantization level
+    diff = np.abs(a1[both] - a2[both]).mean()
+    assert diff < 0.12, diff
+
+
+def test_quantized_rng_stream_is_fast_path(scene):
+    """Same seeds, same cadence: with an OPAQUE TF both tiers accept on the
+    first in-volume sample, and the per-pixel binary alpha must agree."""
+    ds_q, stats, tf, q, loc_csr, k_cap, bands = scene
+    W = H = 32
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    cells = build_cells(ds_q)
+    from icon_rt_tpu.models.locator import build_locator as bl
+    loc = bl(ds_q)
+    packed = pack_cells(cells, tf)
+    a1, f1 = render_frame_fast(cells, packed, loc, bands, lp,
+                               *alloc_frame(W, H), width=W, height=H)
+    a2, f2 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf, lp,
+                                 *alloc_frame(W, H), width=W, height=H)
+    assert (np.asarray(a1)[:, 3] == np.asarray(a2)[:, 3]).mean() > 0.995
