@@ -4,7 +4,7 @@
 Port of the reference tool (ref: tools/convert_icon/convert_icon.cpp):
   convert_icon -hgrid GRID.nc -hsurf HSURF.nc -hhl HHL1.nc [HHL2.nc ...]
                -data D1.nc [D2.nc ...] [-o OUTBASE] [--var NAME]
-               [--max-layers N] [--ic] [--umesh]
+               [--max-layers N] [--ic] [--umesh] [--wedges]
 
 Behavioral parity:
   * horizontal grid from clat_vertices/clon_vertices (radians, CCW corners;
@@ -15,8 +15,9 @@ Behavioral parity:
     with R = 6.371229e6 m, columns split when layers exceed
     LMAX-1 = 31 per record (ref: :353-391);
   * optional wedge-soup export with 50x vertical exaggeration
-    (ref: :393-452) — written in our own documented .wedges format since
-    the umesh library is not vendored here.
+    (ref: :393-452) — `--umesh` writes binary .umesh files in the public
+    umesh library's saveBinaryUMesh layout (see write_umesh); `--wedges`
+    writes the simpler self-describing 'ICWG' format.
 
 grib2 inputs are expected pre-converted with cdo, as in the reference
 (ref: convert_icon.cpp:27-42).  NetCDF classic files are parsed by the
@@ -138,13 +139,12 @@ def convert(hgrid: str, hsurf: str, hhl_files: list[str],
         height=np.concatenate(recs_h), value=np.concatenate(recs_v))
 
 
-def write_wedges(path: str, ds: ICDataset, height_scale: float = 50.0):
-    """Wedge-soup export with vertical exaggeration (the reference's .umesh
-    branch, ref: convert_icon.cpp:393-452).  Our format (little-endian):
-      magic 'ICWG', u32 version=1, u64 num_vertices, u64 num_wedges,
-      f32 vertices[num_vertices][3], f32 scalars[num_vertices],
-      i32 indices[num_wedges][6].
-    """
+def wedge_soup(ds: ICDataset, height_scale: float = 50.0):
+    """Expand an ICDataset into the reference's wedge soup (one 6-vertex
+    wedge per cell layer, bottom/top value both the layer value — the
+    reference leaves interpolation as a TODO; ref: convert_icon.cpp:404-441)
+    with vertical exaggeration.  Returns (vertices (V,3) f32,
+    scalars (V,) f32, indices (Wn,6) i32)."""
     verts, scalars, indices = [], [], []
     base = 0
     for i in range(ds.num_cells):
@@ -159,9 +159,21 @@ def write_wedges(path: str, ds: ICDataset, height_scale: float = 50.0):
             scalars.extend([s] * 6)
             indices.append(np.arange(base, base + 6, dtype=np.int32))
             base += 6
-    verts = np.concatenate(verts).astype(F).reshape(-1, 3)
+    verts = (np.concatenate(verts).astype(F).reshape(-1, 3)
+             if verts else np.zeros((0, 3), F))
     scalars = np.asarray(scalars, F)
     indices = np.stack(indices) if indices else np.zeros((0, 6), np.int32)
+    return verts, scalars, indices
+
+
+def write_wedges(path: str, ds: ICDataset, height_scale: float = 50.0):
+    """Wedge-soup export with vertical exaggeration (the reference's .umesh
+    branch, ref: convert_icon.cpp:393-452).  Our format (little-endian):
+      magic 'ICWG', u32 version=1, u64 num_vertices, u64 num_wedges,
+      f32 vertices[num_vertices][3], f32 scalars[num_vertices],
+      i32 indices[num_wedges][6].
+    """
+    verts, scalars, indices = wedge_soup(ds, height_scale)
     with open(path, "wb") as f:
         f.write(b"ICWG" + struct.pack("<IQQ", 1, len(verts), len(indices)))
         f.write(verts.tobytes())
@@ -169,11 +181,82 @@ def write_wedges(path: str, ds: ICDataset, height_scale: float = 50.0):
         f.write(indices.astype("<i4").tobytes())
 
 
+def write_umesh(path: str, ds: ICDataset, height_scale: float = 50.0,
+                attr_name: str = ""):
+    """Binary `.umesh` export (the reference's WITH_UMESH branch,
+    ref: convert_icon.cpp:393-452: `umesh::UMesh::saveTo`).
+
+    Layout follows the public umesh library's saveBinaryUMesh
+    (github.com/ingowald/umesh, io/UMesh.cpp), little-endian:
+      u64 magic = 0x234235566 ("bum" binary-umesh magic),
+      then seven size-prefixed arrays (u64 count + raw payload):
+        vertices  f32[count][3]
+        triangles i32[count][3]
+        quads     i32[count][4]
+        tets      i32[count][4]
+        pyrs      i32[count][5]
+        wedges    i32[count][6]
+        hexes     i32[count][8]
+      then i32 hasPerVertexAttribute; if 1:
+        u64 name_len + name bytes, u64 count + f32 values[count].
+    The umesh library itself is not vendored (mirrors the reference's
+    optional WITH_UMESH) and this environment has no network, so the
+    layout cannot be re-verified against upstream here; read_umesh is the
+    round-trip check.  convert_icon emits only wedges (one per cell
+    layer), like the reference."""
+    verts, scalars, indices = wedge_soup(ds, height_scale)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", UMESH_MAGIC))
+        f.write(struct.pack("<Q", len(verts)))
+        f.write(verts.astype("<f4").tobytes())
+        for _ in range(3):                    # triangles, quads, tets
+            f.write(struct.pack("<Q", 0))
+        f.write(struct.pack("<Q", 0))         # pyrs
+        f.write(struct.pack("<Q", len(indices)))
+        f.write(indices.astype("<i4").tobytes())
+        f.write(struct.pack("<Q", 0))         # hexes
+        f.write(struct.pack("<i", 1))
+        name = attr_name.encode()
+        f.write(struct.pack("<Q", len(name)) + name)
+        f.write(struct.pack("<Q", len(scalars)))
+        f.write(scalars.astype("<f4").tobytes())
+
+
+UMESH_MAGIC = 0x234235566
+
+
+def read_umesh(path: str):
+    """Parse a binary .umesh (see write_umesh).  Returns a dict with
+    'vertices' (V,3) f32, the six element arrays, and optional
+    'attr_name'/'values'."""
+    widths = [("triangles", 3), ("quads", 4), ("tets", 4),
+              ("pyrs", 5), ("wedges", 6), ("hexes", 8)]
+    out = {}
+    with open(path, "rb") as f:
+        (magic,) = struct.unpack("<Q", f.read(8))
+        if magic != UMESH_MAGIC:
+            raise ValueError(f"not a binary umesh file: magic {magic:#x}")
+        (nv,) = struct.unpack("<Q", f.read(8))
+        out["vertices"] = np.frombuffer(
+            f.read(nv * 12), "<f4").reshape(nv, 3)
+        for name, w in widths:
+            (n,) = struct.unpack("<Q", f.read(8))
+            out[name] = np.frombuffer(
+                f.read(n * 4 * w), "<i4").reshape(n, w)
+        (has_attr,) = struct.unpack("<i", f.read(4))
+        if has_attr:
+            (ln,) = struct.unpack("<Q", f.read(8))
+            out["attr_name"] = f.read(ln).decode()
+            (n,) = struct.unpack("<Q", f.read(8))
+            out["values"] = np.frombuffer(f.read(n * 4), "<f4")
+    return out
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = {"hgrid": None, "hsurf": None, "hhl": [], "data": [],
            "out": "out", "var": "pres", "max_layers": None,
-           "ic": True, "umesh": False}
+           "ic": True, "umesh": False, "wedges": False}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -193,6 +276,8 @@ def main(argv=None):
             cfg["max_layers"] = int(argv[i + 1]); i += 1
         elif a == "--umesh":
             cfg["umesh"] = True
+        elif a == "--wedges":
+            cfg["wedges"] = True
         elif a == "--no-ic":
             cfg["ic"] = False
         i += 1
@@ -205,6 +290,9 @@ def main(argv=None):
         write_ic(cfg["out"] + ".ic", ds)
         print(f"wrote {cfg['out']}.ic ({ds.num_cells} records)")
     if cfg["umesh"]:
+        write_umesh(cfg["out"] + ".umesh", ds)
+        print(f"wrote {cfg['out']}.umesh")
+    if cfg["wedges"]:
         write_wedges(cfg["out"] + ".wedges", ds)
         print(f"wrote {cfg['out']}.wedges")
     return 0

@@ -99,7 +99,7 @@ def test_convert_cli_writes_ic(tmp_path):
     hgrid, hsurf, hhl, data, _, _ = _make_icon_inputs(tmp_path)
     out = str(tmp_path / "out")
     rc = ci.main(["-hgrid", hgrid, "-hsurf", hsurf, "-hhl", *hhl,
-                  "-data", *data, "-o", out, "--umesh"])
+                  "-data", *data, "-o", out, "--umesh", "--wedges"])
     assert rc == 0
     ds = read_ic(out + ".ic")
     assert ds.num_cells == 8
@@ -109,6 +109,20 @@ def test_convert_cli_writes_ic(tmp_path):
     import struct
     _, nv, nw = struct.unpack("<IQQ", raw[4:24])
     assert nw == 8 * 4 and nv == nw * 6
+    # binary .umesh (public umesh saveBinaryUMesh layout) round-trips and
+    # carries the same wedge soup
+    um = ci.read_umesh(out + ".umesh")
+    verts, scalars, indices = ci.wedge_soup(ds)
+    np.testing.assert_array_equal(um["vertices"], verts)
+    np.testing.assert_array_equal(um["wedges"], indices)
+    np.testing.assert_array_equal(um["values"], scalars)
+    for empty in ("triangles", "quads", "tets", "pyrs", "hexes"):
+        assert um[empty].shape[0] == 0
+    # wedge vertical exaggeration: top of layer stack is 50x higher than
+    # the stored (unexaggerated) column heights
+    r = np.linalg.norm(verts.reshape(-1, 6, 3)[:, 3], axis=-1)
+    expect = ci.EARTH_RADIUS + (ds.height[0, 1] - ci.EARTH_RADIUS) * 50.0
+    np.testing.assert_allclose(r[0], expect, rtol=1e-5)
 
 
 def test_convert_layer_split(tmp_path):

@@ -78,3 +78,78 @@ def test_make_rgba():
     # int(0.5*256)=128, int(1.0*256)=256 -> clamp 255
     assert px[0].tolist() == [0, 128, 255, 255]
     assert px[1].tolist() == [0, 255, 255, 0]
+
+
+def test_mat3_inverse_determinant():
+    from icon_rt_tpu.utils.vecmath import (mat3_determinant, mat3_inverse,
+                                           mat_mul, mat_vec)
+    rng = np.random.default_rng(7)
+    m = jnp.asarray(rng.normal(size=(5, 3, 3)).astype(np.float32))
+    det = np.asarray(mat3_determinant(m))
+    np.testing.assert_allclose(det, np.linalg.det(np.asarray(m)),
+                               rtol=2e-4, atol=1e-5)
+    inv = mat3_inverse(m)
+    np.testing.assert_allclose(np.asarray(mat_mul(m, inv)),
+                               np.broadcast_to(np.eye(3), (5, 3, 3)),
+                               atol=2e-5)
+    v = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(mat_vec(m, v)),
+                               np.einsum("bij,bj->bi", np.asarray(m),
+                                         np.asarray(v)), rtol=1e-5, atol=1e-6)
+
+
+def test_mat4_frustum_ortho():
+    """Entries match the reference formulas (ref: vecmath.h:858-905) and
+    the projections behave: frustum maps the near plane to z=-1, ortho
+    maps the box corners to the unit cube."""
+    from icon_rt_tpu.utils.vecmath import (make_frustum, make_ortho,
+                                           mat_identity, mat_mul, mat_vec)
+    l, r, b, t, n, f = -0.2, 0.3, -0.1, 0.25, 0.5, 100.0
+    M = np.asarray(make_frustum(l, r, b, t, n, f))
+    p = np.asarray(mat_vec(jnp.asarray(M), jnp.asarray([l, b, -n, 1.0])))
+    p = p / p[3]
+    np.testing.assert_allclose(p[:3], [-1, -1, -1], atol=1e-5)
+    p = np.asarray(mat_vec(jnp.asarray(M), jnp.asarray([r * f / n, t * f / n,
+                                                        -f, 1.0])))
+    p = p / p[3]
+    np.testing.assert_allclose(p[:3], [1, 1, 1], atol=1e-4)
+
+    O = np.asarray(make_ortho(l, r, b, t, n, f))
+    p = np.asarray(mat_vec(jnp.asarray(O), jnp.asarray([l, b, -n, 1.0])))
+    np.testing.assert_allclose(p, [-1, -1, -1, 1], atol=1e-5)
+    p = np.asarray(mat_vec(jnp.asarray(O), jnp.asarray([r, t, -f, 1.0])))
+    np.testing.assert_allclose(p, [1, 1, 1, 1], atol=1e-5)
+
+    eye = mat_identity(4)
+    np.testing.assert_array_equal(np.asarray(mat_mul(eye, jnp.asarray(M))), M)
+
+
+def test_interval_arithmetic():
+    from icon_rt_tpu.utils.vecmath import (interval, interval_add,
+                                           interval_contains, interval_div,
+                                           interval_length, interval_mul,
+                                           interval_sub)
+    a = interval(jnp.asarray([-1.0, 2.0]), jnp.asarray([3.0, 5.0]))
+    b = interval(jnp.asarray([2.0, -4.0]), jnp.asarray([4.0, -1.0]))
+    lo, hi = interval_add(a, b)
+    np.testing.assert_allclose(np.asarray(lo), [1.0, -2.0])
+    np.testing.assert_allclose(np.asarray(hi), [7.0, 4.0])
+    # reference convention: endpoint-wise sub (vecmath.h:1185-1187)
+    lo, hi = interval_sub(a, b)
+    np.testing.assert_allclose(np.asarray(lo), [-3.0, 6.0])
+    np.testing.assert_allclose(np.asarray(hi), [-1.0, 6.0])
+    # conservative product: contains every pairwise product
+    lo, hi = interval_mul(a, b)
+    np.testing.assert_allclose(np.asarray(lo), [-4.0, -20.0])
+    np.testing.assert_allclose(np.asarray(hi), [12.0, -2.0])
+    # division by a zero-straddling interval widens to [-inf, inf]
+    z = interval(jnp.asarray([-1.0, 1.0]), jnp.asarray([1.0, 2.0]))
+    lo, hi = interval_div(a, z)
+    assert np.isneginf(np.asarray(lo)[0]) and np.isposinf(np.asarray(hi)[0])
+    np.testing.assert_allclose(np.asarray(lo)[1], 1.0)
+    np.testing.assert_allclose(np.asarray(hi)[1], 5.0)
+    # degenerate single-value interval + contains/length
+    s = interval(2.0)
+    assert float(interval_length(s)) == 0.0
+    assert bool(interval_contains(a, 0.0)[0])
+    assert not bool(interval_contains(a, 4.0)[0])
