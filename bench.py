@@ -163,7 +163,8 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
     def tf_edit(scale):
         tf2 = tf._replace(opacity_scale=jnp.float32(scale))
         bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
-        packed2 = packed._replace(prof=pack_profile_rows(cells, tf2))
+        prof2, rgb2 = pack_profile_rows(cells, tf2)
+        packed2 = packed._replace(prof=prof2, rgb=rgb2)
         a2, f2 = render_frame_fast(cells, packed2, locator, bands2,
                                    lp._replace(accum_id=jnp.int32(0)),
                                    *alloc_frame(WIDTH, HEIGHT),

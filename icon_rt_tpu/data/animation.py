@@ -67,8 +67,8 @@ def animate_fast(anim: Animation, cells, locator, bands, tf, lp_for_frame,
     next_vals = jnp.asarray(anim.values[0])
     for t in range(anim.num_timesteps):
         cells_t = cells._replace(value=next_vals)
-        packed = PackedCells(test=test_rows,
-                             prof=pack_profile_rows(cells_t, tf))
+        prof_t, rgb_t = pack_profile_rows(cells_t, tf)
+        packed = PackedCells(test=test_rows, prof=prof_t, rgb=rgb_t)
         if t + 1 < anim.num_timesteps:
             # start the next upload while this timestep renders
             next_vals = jnp.asarray(anim.values[t + 1])

@@ -51,7 +51,7 @@ from ..models.transfunc import Transfunc, post_classify
 from ..utils.lcg import lcg_init, lcg_next
 
 F32 = jnp.float32
-PROF_W = MAX_LAYERS * 5   # heights (32) + classified rgba (128)
+PROF_W = MAX_LAYERS * 2   # heights (32) + classified alpha (32)
 
 
 # ===========================================================================
@@ -59,17 +59,22 @@ PROF_W = MAX_LAYERS * 5   # heights (32) + classified rgba (128)
 # ===========================================================================
 
 class PackedCells(NamedTuple):
-    """Per-cell data packed into single gather-rows.
+    """Per-cell data packed into single gather-rows, split hot/cold.
 
     test: (N, 16) f32 — 3 side planes (nx,ny,nz,w)x3, h_bot, h_top,
           float(num_layers), pad.
-    prof: (N, 160) f32 — per-layer ceiling heights h[1..32] (inf-padded
-          past num_layers) then the CLASSIFIED per-layer RGBA stored
-          PLANAR (R[32] | G[32] | B[32] | A[32]) so layer selection is
-          four 2-D masked sums (Mosaic handles no 3-D reshapes).
+    prof: (N, 64) f32 — per-layer ceiling heights h[1..32] (inf-padded
+          past num_layers) then the CLASSIFIED per-layer ALPHA, planar
+          (h[32] | A[32]).  This is the row cached per lane: the tracking
+          loop only ever needs (layer-of-r, alpha), so keeping RGB out of
+          the hot row cuts both the refresh gather and the per-step live
+          state by 2.5x (the loop is HBM-bound — see docs/ROUND2.md).
+    rgb:  (N, 96) f32 — classified per-layer RGB planar (R|G|B), gathered
+          ONCE per finished ray at shade time via the cached cell id.
     """
     test: jnp.ndarray
     prof: jnp.ndarray
+    rgb: jnp.ndarray
 
 
 def pack_test_rows(cells: Cells) -> jnp.ndarray:
@@ -83,15 +88,16 @@ def pack_test_rows(cells: Cells) -> jnp.ndarray:
 
 
 @jax.jit
-def pack_profile_rows(cells: Cells, tf: Transfunc) -> jnp.ndarray:
-    """Bake heights + classified per-layer RGBA.  Re-run on TF edits (the
-    fast-path analog of the reference's computeMaxOpacities TF-edit hook,
+def pack_profile_rows(cells: Cells, tf: Transfunc
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Bake heights + classified per-layer RGBA; returns (prof (N, 64),
+    rgb (N, 96)) — see PackedCells.  Re-run on TF edits (the fast-path
+    analog of the reference's computeMaxOpacities TF-edit hook,
     ref: hostCode.cu:878-909).
 
     Classification is computed per CHANNEL over (N, 32) arrays — a vmapped
     (N, 32, 4) intermediate pads its trailing dim to 128 lanes on TPU and
     blows HBM at R2B8+ scale (21 GB for 1.3M cells)."""
-    n = cells.num_cells
     heights_hi = jnp.concatenate(
         [cells.height[:, 1:], cells.height[:, -1:]], axis=1)  # (N, 32)
     k = jnp.arange(1, MAX_LAYERS + 1)
@@ -113,12 +119,14 @@ def pack_profile_rows(cells: Cells, tf: Transfunc) -> jnp.ndarray:
         scale = jnp.where(c == 3, tf.opacity_scale.astype(jnp.float32),
                           jnp.float32(1.0))
         chans.append(lut_c[i1] * frac + lut_c[i2] * (1.0 - frac) * scale)
-    return jnp.concatenate([heights_hi] + chans, axis=1)
+    prof = jnp.concatenate([heights_hi, chans[3]], axis=1)
+    rgb = jnp.concatenate(chans[:3], axis=1)
+    return prof, rgb
 
 
 def pack_cells(cells: Cells, tf: Transfunc) -> PackedCells:
-    return PackedCells(test=pack_test_rows(cells),
-                       prof=pack_profile_rows(cells, tf))
+    prof, rgb = pack_profile_rows(cells, tf)
+    return PackedCells(test=pack_test_rows(cells), prof=prof, rgb=rgb)
 
 
 # ===========================================================================
@@ -138,7 +146,8 @@ class _State(NamedTuple):
     si: jnp.ndarray         # i32 shell segment index (0 or 1)
     pending: jnp.ndarray    # i32 sample at t awaits the outer refresh
     c_test: jnp.ndarray     # (L, 16) packed test row
-    c_prof: jnp.ndarray     # (L, 160) packed profile row
+    c_prof: jnp.ndarray     # (L, 64) packed profile row (h | alpha)
+    c_cid: jnp.ndarray      # i32 cached column's cell id (shade-time RGB)
     c_hit: jnp.ndarray      # i32 refresh found the point's column
     in_eval: jnp.ndarray    # i32 lane is in EVAL phase
     c_valid: jnp.ndarray    # i32 cache holds some real column
@@ -165,10 +174,11 @@ def _point_in_test_row(row, px, py, pz, r):
             & (ev1 <= 0.0) & (ev2 <= 0.0) & (ev3 <= 0.0))
 
 
-def _classified_at(prof, r):
-    """Layer lookup + classified RGBA from cached profile rows (L, 160).
-    Heights are ascending and inf-padded, so the containing layer is the
-    unique k with h[k-1] < r <= h[k] — two compares, no cumsum."""
+def _rgb_at(rgb_rows, prof, r):
+    """Layer lookup from the cached heights + RGB select from the
+    shade-time gathered rows (L, 96).  Heights are ascending and
+    inf-padded, so the containing layer is the unique k with
+    h[k-1] < r <= h[k] — two compares, no cumsum."""
     ml = MAX_LAYERS
     hh = prof[:, :ml]
     # heights ascend, so the containing layer index is #(h < r); one-hot it
@@ -176,14 +186,13 @@ def _classified_at(prof, r):
     layer = jnp.sum((r[:, None] > hh).astype(jnp.int32), axis=1)
     ids = jax.lax.broadcasted_iota(jnp.int32, (hh.shape[0], ml), 1)
     oh = (ids == layer[:, None]).astype(F32)
-    rr = jnp.sum(oh * prof[:, ml:2 * ml], axis=1)
-    gg = jnp.sum(oh * prof[:, 2 * ml:3 * ml], axis=1)
-    bb = jnp.sum(oh * prof[:, 3 * ml:4 * ml], axis=1)
-    aa = jnp.sum(oh * prof[:, 4 * ml:5 * ml], axis=1)
-    return rr, gg, bb, aa
+    rr = jnp.sum(oh * rgb_rows[:, :ml], axis=1)
+    gg = jnp.sum(oh * rgb_rows[:, ml:2 * ml], axis=1)
+    bb = jnp.sum(oh * rgb_rows[:, 2 * ml:3 * ml], axis=1)
+    return rr, gg, bb
 
 
-def _alpha_at(prof, r, ml: int = MAX_LAYERS, a_off: int = 4 * MAX_LAYERS):
+def _alpha_at(prof, r, ml: int = MAX_LAYERS, a_off: int = MAX_LAYERS):
     """Classified ALPHA only (the per-step need); RGB of an accepted sample
     is recovered once after the loop from the frozen (c_prof, t) state.
     ml/a_off parameterize the profile-cache layout (the f32 path caches
@@ -205,12 +214,16 @@ def _select_band(arr, b):
 
 def _band_data(b, edges, majors):
     """(inner radius, outer radius, majorant) of band b via ONE shared
-    one-hot (three separate selects would triple the per-step fma count)."""
+    one-hot (three separate selects would triple the per-step fma count).
+    lax.slice, not edges[:nb]: the jnp slice path emits gather ops, which
+    Mosaic cannot lower inside the Pallas kernel."""
     nb = majors.shape[0]
     ids = jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], nb), 1)
     oh = (ids == b[:, None]).astype(F32)
-    r_lo = jnp.sum(oh * edges[None, :nb], axis=1)
-    r_hi = jnp.sum(oh * edges[None, 1:nb + 1], axis=1)
+    e_lo = jax.lax.slice(edges, (0,), (nb,))
+    e_hi = jax.lax.slice(edges, (1,), (nb + 1,))
+    r_lo = jnp.sum(oh * e_lo[None, :], axis=1)
+    r_hi = jnp.sum(oh * e_hi[None, :], axis=1)
     m = jnp.sum(oh * majors[None, :], axis=1)
     return r_lo, r_hi, m
 
@@ -248,7 +261,7 @@ def _band_of(r, edges, nb):
 
 def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
               nb: int, ml: int = MAX_LAYERS,
-              a_off: int = 4 * MAX_LAYERS) -> _State:
+              a_off: int = MAX_LAYERS) -> _State:
     """One gather-free iteration of the tracking machine.
 
     Lane lifecycle per Woodcock sample:
@@ -317,7 +330,7 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
         m=jnp.where(adv, m_n, s.m),
         si=jnp.where(to_seg1, 1, s.si),
         pending=i32((s.pending != 0) | to_pending),
-        c_test=s.c_test, c_prof=s.c_prof,
+        c_test=s.c_test, c_prof=s.c_prof, c_cid=s.c_cid,
         c_hit=i32((~in_eval) & (s.c_hit != 0)),
         in_eval=i32((~in_eval) & ((s.in_eval != 0) | to_pending)),
         c_valid=s.c_valid,
@@ -480,6 +493,7 @@ def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
         pending=zero_i,
         c_test=jnp.zeros((L, 16), F32),
         c_prof=jnp.full((L, prof_w), jnp.float32(np.inf), F32),
+        c_cid=zero_i,
         c_hit=zero_i, in_eval=zero_i, c_valid=zero_i,
         rng=rng,
         alpha=jnp.zeros(L, F32),
@@ -526,13 +540,14 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
     k_oh = (jnp.arange(cand.shape[1])[None, :] == slot[:, None])
     cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
     new_test = jnp.sum(jnp.where(k_oh[..., None], trows, 0.0), axis=1)
-    prow = packed.prof[jnp.where(pend & hit, cid, 0)]  # (L, 160) gather
+    prow = packed.prof[jnp.where(pend & hit, cid, 0)]  # (L, 64) gather
 
     upd_hit = pend & hit
     return s._replace(
         pending=jnp.zeros_like(s.pending),
         c_test=jnp.where(upd_hit[:, None], new_test, s.c_test),
         c_prof=jnp.where(upd_hit[:, None], prow, s.c_prof),
+        c_cid=jnp.where(upd_hit, cid, s.c_cid),
         c_hit=upd_hit.astype(jnp.int32),
         c_valid=((s.c_valid != 0) | upd_hit).astype(jnp.int32),
     )
@@ -541,11 +556,14 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
 def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 bands: RadialBands, lp, xs, ys, width: int, height: int,
                 steps_per_refresh: int = 8, max_outer: int = 16384,
-                use_pallas: bool = False, pallas_interpret: bool = False):
+                use_pallas: bool = False, pallas_interpret: bool = False,
+                return_cost: bool = False):
     """One progressive sample for a batch of pixels.
 
     lp: ops.render.LaunchParams.  xs, ys: (L,) i32 pixel coords.
-    Returns (wrote (L,) bool, color_alpha (L, 4) f32).
+    Returns (wrote (L,) bool, color_alpha (L, 4) f32); with return_cost
+    also the per-lane outer-iteration count at completion (L,) i32 — the
+    measured cost that drives adaptive re-ordering (ops/order.refine_order).
     """
     L = xs.shape[0]
     nb = bands.num_bands
@@ -567,35 +585,45 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         if use_pallas:
             return _pallas_inner(s, consts, edges, majors, org, oo, ud, nb,
                                  steps_per_refresh, interpret=pallas_interpret)
-        return jax.lax.fori_loop(
-            0, steps_per_refresh,
-            lambda i, st: step_core(st, consts, edges, majors, org, oo, ud, nb),
-            s)
+        # Python-unrolled on purpose: a lax.fori_loop would make every step
+        # its own kernel, streaming the ~180 f32/lane live state through HBM
+        # per step; unrolled, XLA fuses all steps_per_refresh steps into one
+        # kernel and the state makes ONE HBM round trip per outer iteration.
+        for _ in range(steps_per_refresh):
+            s = step_core(s, consts, edges, majors, org, oo, ud, nb)
+        return s
 
     def outer_cond(carry):
-        s, it = carry
+        s, it, fin = carry
         return jnp.any(s.done == 0) & (it < max_outer)
 
     def outer_body(carry):
-        s, it = carry
+        s, it, fin = carry
         s = jax.lax.cond(jnp.any(s.pending != 0), refresh, lambda x: x, s)
         s = inner_phase(s)
-        return (s, it + 1)
+        fin = jnp.where((s.done != 0) & (fin < 0), it + 1, fin)
+        return (s, it + 1, fin)
 
-    out, _ = jax.lax.while_loop(outer_cond, outer_body, (init, jnp.int32(0)))
+    out, _, fin = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (init, jnp.int32(0), jnp.where(init.done != 0, 0, -1)))
 
     # recover the accepted sample's RGB once, from the frozen state: an
     # accepting lane sets done with t at the collision and its cache still
-    # holding the collided column
-    color_alpha = jnp.stack(_shade(out, consts, lp, oo), axis=-1)
+    # holding the collided column's heights + cell id (ONE rgb-row gather
+    # per ray, not per step)
+    color_alpha = jnp.stack(_shade(out, consts, packed.rgb, lp, oo), axis=-1)
+    if return_cost:
+        return wrote, color_alpha, jnp.maximum(fin, 0)
     return wrote, color_alpha
 
 
-def _shade(s: _State, c: _Consts, lp, oo):
+def _shade(s: _State, c: _Consts, rgb_table, lp, oo):
     """Composite color of a finished lane (ref: deviceCode.cu:333-340):
     classified RGB of the accepted sample x ambient, binary alpha."""
     got = s.alpha > 0.0
-    rr, gg, bb, _ = _classified_at(s.c_prof, _r_of(s.t, c.od, oo))
+    rgb_rows = rgb_table[jnp.where(got, s.c_cid, 0)]   # (L, 96) gather
+    rr, gg, bb = _rgb_at(rgb_rows, s.c_prof, _r_of(s.t, c.od, oo))
     amb_r = lp.ambient_color[0] * lp.ambient_radiance
     amb_g = lp.ambient_color[1] * lp.ambient_radiance
     amb_b = lp.ambient_color[2] * lp.ambient_radiance
@@ -609,7 +637,7 @@ def _shade(s: _State, c: _Consts, lp, oo):
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
                                     "chunk", "use_pallas", "pallas_interpret",
-                                    "n_active"),
+                                    "n_active", "return_cost"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
@@ -617,7 +645,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       chunk: int = 4096, pixel_perm=None,
                       n_active: int | None = None,
                       use_pallas: bool = False,
-                      pallas_interpret: bool = False):
+                      pallas_interpret: bool = False,
+                      return_cost: bool = False):
     """Full-frame progressive step on the fast path (drop-in peer of
     render_frame_ae / render_frame_accel).
 
@@ -632,6 +661,10 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     without writing on a bounds miss, deviceCode.cu:294), so skipping the
     all-background chunks is exact.  Each distinct rounded value compiles
     once; bucket it (order.bucket_active) for moving cameras.
+
+    return_cost: also return the measured per-PIXEL outer-iteration count
+    in NATURAL pixel order (total,) i32 — feed to ops/order.refine_order
+    to re-sort the next sample's lanes by actual cost.
     """
     from .render import _finalize  # local import to avoid cycle
 
@@ -650,27 +683,37 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
         return render_fast(cells, packed, loc, bands, lp, xs, ys,
                            width, height, steps_per_refresh,
                            use_pallas=use_pallas,
-                           pallas_interpret=pallas_interpret)
+                           pallas_interpret=pallas_interpret,
+                           return_cost=return_cost)
 
     if n_proc <= chunk:
-        wrote, ca = run(xs_all, ys_all)
+        out = run(xs_all, ys_all)
+        wrote, ca = out[0], out[1]
+        cost = out[2] if return_cost else None
     else:
         n = -(-n_proc // chunk)
         pad = n * chunk - n_proc
         if pad:
             xs_all = jnp.concatenate([xs_all, jnp.zeros(pad, jnp.int32)])
             ys_all = jnp.concatenate([ys_all, jnp.zeros(pad, jnp.int32)])
-        wrote, ca = jax.lax.map(
+        out = jax.lax.map(
             lambda c: run(c[0], c[1]),
             (xs_all.reshape(n, chunk), ys_all.reshape(n, chunk)))
-        wrote = wrote.reshape(-1)[:n_proc]
-        ca = ca.reshape(-1, 4)[:n_proc]
+        wrote = out[0].reshape(-1)[:n_proc]
+        ca = out[1].reshape(-1, 4)[:n_proc]
+        cost = out[2].reshape(-1)[:n_proc] if return_cost else None
     accum_head, fb_head = _finalize(wrote, ca, accum[:n_proc], fb[:n_proc],
                                     lp.accum_id)
     if n_proc == total:
-        return accum_head, fb_head
-    return (jnp.concatenate([accum_head, accum[n_proc:]]),
-            jnp.concatenate([fb_head, fb[n_proc:]]))
+        accum_out, fb_out = accum_head, fb_head
+    else:
+        accum_out = jnp.concatenate([accum_head, accum[n_proc:]])
+        fb_out = jnp.concatenate([fb_head, fb[n_proc:]])
+    if not return_cost:
+        return accum_out, fb_out
+    # scatter lane costs to natural pixel order; untraced pixels stay 0
+    cost_nat = jnp.zeros(total, jnp.int32).at[pix].set(cost)
+    return accum_out, fb_out, cost_nat
 
 
 # ===========================================================================
@@ -748,7 +791,7 @@ def render_frame_fast_queue(cells: Cells, packed: PackedCells, loc: Locator,
         ret = q.s.done != 0
         real = q.pix >= 0
         # scatter finished results by pixel id (trash row T for the rest)
-        ca = jnp.stack(_shade(q.s, q.c, lp, oo), axis=-1)
+        ca = jnp.stack(_shade(q.s, q.c, packed.rgb, lp, oo), axis=-1)
         idx = jnp.where(ret & real, q.pix, total)
         out_ca = q.out_ca.at[idx].set(ca, mode="drop")
         out_w = q.out_w.at[idx].set(q.w != 0, mode="drop")
@@ -774,10 +817,8 @@ def render_frame_fast_queue(cells: Cells, packed: PackedCells, loc: Locator,
         s = jax.lax.cond(jnp.any(q.s.pending != 0),
                          lambda s: _refresh(s, q.c, loc, packed, org, oo),
                          lambda s: s, q.s)
-        s = jax.lax.fori_loop(
-            0, steps_per_refresh,
-            lambda i, st: step_core(st, q.c, edges, majors, org, oo, ud, nb),
-            s)
+        for _ in range(steps_per_refresh):   # unrolled; see render_fast
+            s = step_core(s, q.c, edges, majors, org, oo, ud, nb)
         return q._replace(s=s)
 
     def cond(carry):

@@ -139,9 +139,10 @@ def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, oo, lm: int):
 def render_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
                   bands: RadialBands, tf: Transfunc, lp, xs, ys,
                   width: int, height: int, steps_per_refresh: int = 8,
-                  max_outer: int = 16384):
+                  max_outer: int = 16384, return_cost: bool = False):
     """One progressive sample for a batch of pixels on the quantized tier.
-    Returns (wrote (L,) bool, color_alpha (L, 4) f32)."""
+    Returns (wrote (L,) bool, color_alpha (L, 4) f32) [+ per-lane cost
+    (outer iterations to completion) when return_cost]."""
     nb = bands.num_bands
     edges = bands.edges
     majors = bands.max_opacities
@@ -159,38 +160,47 @@ def render_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
         return _refresh_q(s, consts, loc, q, k_cap, org, oo)
 
     def inner_phase(s: _State) -> _State:
-        return jax.lax.fori_loop(
-            0, steps_per_refresh,
-            lambda i, st: step_core(st, consts, edges, majors, org, oo, ud,
-                                    nb, ml=lm, a_off=lm),
-            s)
+        # Python-unrolled so XLA fuses all steps into one kernel per outer
+        # iteration (one HBM round trip of the live state; see ops/fast.py)
+        for _ in range(steps_per_refresh):
+            s = step_core(s, consts, edges, majors, org, oo, ud,
+                          nb, ml=lm, a_off=lm)
+        return s
 
     def outer_cond(carry):
-        s, it = carry
+        s, it, fin = carry
         return jnp.any(s.done == 0) & (it < max_outer)
 
     def outer_body(carry):
-        s, it = carry
+        s, it, fin = carry
         s = jax.lax.cond(jnp.any(s.pending != 0), refresh, lambda x: x, s)
         s = inner_phase(s)
-        return (s, it + 1)
+        fin = jnp.where((s.done != 0) & (fin < 0), it + 1, fin)
+        return (s, it + 1, fin)
 
-    out, _ = jax.lax.while_loop(outer_cond, outer_body, (init, jnp.int32(0)))
+    out, _, fin = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (init, jnp.int32(0), jnp.where(init.done != 0, 0, -1)))
     color_alpha = jnp.stack(_shade_q(out, consts, lp, tf, oo, lm), axis=-1)
+    if return_cost:
+        return wrote, color_alpha, jnp.maximum(fin, 0)
     return wrote, color_alpha
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
-                                    "chunk", "k_cap", "n_active"),
+                                    "chunk", "k_cap", "n_active",
+                                    "return_cost"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
                         bands: RadialBands, tf: Transfunc, lp, accum, fb, *,
                         width: int, height: int, steps_per_refresh: int = 8,
                         chunk: int = 4096, pixel_perm=None,
-                        n_active: int | None = None):
+                        n_active: int | None = None,
+                        return_cost: bool = False):
     """Full-frame progressive step on the quantized tier — drop-in peer of
-    ops/fast.render_frame_fast (same pixel_perm / n_active contract)."""
+    ops/fast.render_frame_fast (same pixel_perm / n_active / return_cost
+    contract)."""
     from .render import _finalize  # local import to avoid cycle
 
     total = width * height
@@ -206,24 +216,33 @@ def render_frame_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
 
     def run(xs, ys):
         return render_fast_q(q, loc, k_cap, bands, tf, lp, xs, ys,
-                             width, height, steps_per_refresh)
+                             width, height, steps_per_refresh,
+                             return_cost=return_cost)
 
     if n_proc <= chunk:
-        wrote, ca = run(xs_all, ys_all)
+        out = run(xs_all, ys_all)
+        wrote, ca = out[0], out[1]
+        cost = out[2] if return_cost else None
     else:
         n = -(-n_proc // chunk)
         pad = n * chunk - n_proc
         if pad:
             xs_all = jnp.concatenate([xs_all, jnp.zeros(pad, jnp.int32)])
             ys_all = jnp.concatenate([ys_all, jnp.zeros(pad, jnp.int32)])
-        wrote, ca = jax.lax.map(
+        out = jax.lax.map(
             lambda cc: run(cc[0], cc[1]),
             (xs_all.reshape(n, chunk), ys_all.reshape(n, chunk)))
-        wrote = wrote.reshape(-1)[:n_proc]
-        ca = ca.reshape(-1, 4)[:n_proc]
+        wrote = out[0].reshape(-1)[:n_proc]
+        ca = out[1].reshape(-1, 4)[:n_proc]
+        cost = out[2].reshape(-1)[:n_proc] if return_cost else None
     accum_head, fb_head = _finalize(wrote, ca, accum[:n_proc], fb[:n_proc],
                                     lp.accum_id)
     if n_proc == total:
-        return accum_head, fb_head
-    return (jnp.concatenate([accum_head, accum[n_proc:]]),
-            jnp.concatenate([fb_head, fb[n_proc:]]))
+        accum_out, fb_out = accum_head, fb_head
+    else:
+        accum_out = jnp.concatenate([accum_head, accum[n_proc:]])
+        fb_out = jnp.concatenate([fb_head, fb[n_proc:]])
+    if not return_cost:
+        return accum_out, fb_out
+    cost_nat = jnp.zeros(total, jnp.int32).at[pix].set(cost)
+    return accum_out, fb_out, cost_nat

@@ -85,6 +85,64 @@ def inverse_order(perm: np.ndarray) -> np.ndarray:
     return inv
 
 
+def refine_order(perm, n_active: int, cost_nat) -> np.ndarray:
+    """Re-sort the covered prefix of `perm` by MEASURED per-pixel cost.
+
+    The analytic chord key can't see transfer-function-dependent early
+    termination (an opaque surface kills a long-chord ray in ~3 steps), so
+    static ordering leaves chunks bound by mispredicted stragglers.
+    Progressive accumulation renders the same camera repeatedly — the
+    previous sample's outer-iteration counts (render_frame_fast's
+    return_cost output, natural pixel order) are a near-exact predictor
+    for the next.  Stable-sorting the covered prefix by them makes chunk
+    cost nearly uniform.  The tail (uncovered pixels) is untouched, so
+    n_active semantics survive.  Returns a new (total,) i32 permutation.
+    """
+    perm = np.asarray(perm)
+    head = perm[:n_active]
+    key = np.asarray(cost_nat)[head]
+    out = perm.copy()
+    out[:n_active] = head[np.argsort(key, kind="stable")]
+    return out
+
+
+def refine_order_device(perm, n_active: int, cost_nat):
+    """Device-side refine_order (jit-compatible; argsort + gathers stay on
+    the TPU so per-sample adaptive re-ordering costs ~ms, no host round
+    trip).  perm/cost_nat are jnp arrays; n_active is static."""
+    import jax
+
+    @jax.jit
+    def _go(perm, cost_nat):
+        head = perm[:n_active]
+        order = jnp.argsort(cost_nat[head], stable=True)
+        return jnp.concatenate([head[order], perm[n_active:]])
+
+    return _go(perm, cost_nat)
+
+
+def repermute_device(arr, old_perm, new_perm):
+    """Device-side repermute: arr stored in old_perm order -> new_perm
+    order.  One scatter + one gather, jit-compiled."""
+    import jax
+
+    @jax.jit
+    def _go(arr, old_perm, new_perm):
+        nat = jnp.zeros_like(arr).at[old_perm].set(arr)
+        return nat[new_perm]
+
+    return _go(arr, old_perm, new_perm)
+
+
+def repermute(arr, old_perm, new_perm):
+    """Re-index an accumulation buffer stored in old_perm order into
+    new_perm order (arr[i] holds pixel old_perm[i]'s data)."""
+    arr = np.asarray(arr)
+    nat = np.empty_like(arr)
+    nat[np.asarray(old_perm)] = arr
+    return nat[np.asarray(new_perm)]
+
+
 def bucket_active(n_active: int, chunk: int, total: int) -> int:
     """Round the active count up to a power-of-two number of chunks so a
     moving camera cycles through O(log) compiled variants instead of one

@@ -34,12 +34,12 @@ def test_band_majorants_conservative():
     bands = update_band_majorants(build_radial_bands(ds, 16),
                                   tf.values, tf.value_range)
     cells = build_cells(ds)
-    prof = np.asarray(pack_profile_rows(cells, tf))
+    prof = np.asarray(pack_profile_rows(cells, tf)[0])
     edges = np.asarray(bands.edges)
     mo = np.asarray(bands.max_opacities)
     heights = np.asarray(cells.height)
     nl = np.asarray(cells.num_layers)
-    alpha_planar = prof[:, 4 * 32:5 * 32]   # planar packing: A block
+    alpha_planar = prof[:, 32:64]   # planar packing: (h | A) hot row
     for i in range(cells.num_cells):
         for L in range(int(nl[i])):
             a = alpha_planar[i, L]
@@ -125,3 +125,51 @@ def test_fast_pallas_interpret_matches_xla():
                                use_pallas=True, pallas_interpret=True)
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+def test_adaptive_reorder_bit_identical():
+    """Measured-cost reordering (order.refine_order) between samples must
+    not change the unpermuted image: the RNG stream is per-pixel, so lane
+    placement is free to change."""
+    from icon_rt_tpu.ops.order import (inverse_order, pixel_order,
+                                       refine_order, repermute)
+
+    ds = synthetic.icosphere(subdivisions=2, num_layers=5)
+    stats = compute_stats(ds)
+    cells = build_cells(ds)
+    loc = build_locator(ds)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    bands = update_band_majorants(build_radial_bands(ds, 16),
+                                  tf.values, tf.value_range)
+    packed = pack_cells(cells, tf)
+    W = H = 32
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], W, H)
+
+    def run(reorder: bool):
+        p = perm
+        a, f = alloc_frame(W, H)
+        for s in range(3):
+            out = render_frame_fast(cells, packed, loc, bands,
+                                    lp._replace(accum_id=jnp.int32(s)),
+                                    a, f, width=W, height=H, chunk=256,
+                                    pixel_perm=jnp.asarray(p),
+                                    n_active=n_active, return_cost=True)
+            a, f, cost = out
+            if reorder:
+                p2 = refine_order(p, n_active, np.asarray(cost))
+                a = jnp.asarray(repermute(np.asarray(a), p, p2))
+                f = jnp.asarray(repermute(np.asarray(f), p, p2))
+                p = p2
+        inv = inverse_order(np.asarray(p))
+        return np.asarray(f)[inv], np.asarray(a)[inv]
+
+    f_static, a_static = run(False)
+    f_adapt, a_adapt = run(True)
+    np.testing.assert_array_equal(f_adapt, f_static)
+    np.testing.assert_array_equal(a_adapt, a_static)
+    assert (f_static != 0).any()
