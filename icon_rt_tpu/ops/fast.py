@@ -428,11 +428,14 @@ def _pallas_inner(state: _State, consts: _Consts, edges, majors, org, oo,
 # The render kernel
 # ===========================================================================
 
-def _raygen_soa(lp, xs, ys, width, height):
+def _raygen_soa(lp, xs, ys, width, height, accum_id=None):
     """Jittered pinhole rays as SoA scalars (ref: deviceCode.cu:36-49
-    semantics).  Returns (dx, dy, dz, od, rng)."""
-    seed0 = (lp.accum_id.astype(jnp.uint32) * jnp.uint32(width * height)
-             + xs.astype(jnp.uint32))
+    semantics).  Returns (dx, dy, dz, od, rng).  accum_id may be a scalar
+    (one progressive sample) or an (L,) vector (in-lane sample batching:
+    lanes sit at different sample indices)."""
+    aid = lp.accum_id if accum_id is None else accum_id
+    seed0 = (jnp.asarray(aid).astype(jnp.uint32)
+             * jnp.uint32(width * height) + xs.astype(jnp.uint32))
     rng = lcg_init(seed0, ys.astype(jnp.uint32))
     rng, jx = lcg_next(rng)
     rng, jy = lcg_next(rng)
@@ -452,10 +455,10 @@ def _raygen_soa(lp, xs, ys, width, height):
 
 
 def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
-                prof_w: int = PROF_W):
+                prof_w: int = PROF_W, accum_id=None):
     """Full per-lane initialization: raygen + shell clip + first band.
     Returns (_State, _Consts, wrote) for a batch of pixels."""
-    dx, dy, dz, od, rng = _raygen_soa(lp, xs, ys, width, height)
+    dx, dy, dz, od, rng = _raygen_soa(lp, xs, ys, width, height, accum_id)
     r_in = edges[0]
     r_out = edges[-1]
 
@@ -618,6 +621,135 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
     return wrote, color_alpha
 
 
+def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
+               samples: int, max_outer: int = 16384):
+    """Generic in-lane sample-batching wavefront loop (shared by the f32
+    and quantized tiers).
+
+    The single-sample renderers idle ~90% of their lane-step slots: a lane
+    that finishes its sample in 3 steps waits for the chunk's slowest lane
+    (measured utilization 0.097, docs/ROUND2.md).  Here a finished lane
+    immediately RE-INITIALIZES with its pixel's next progressive sample —
+    the per-sample RNG stream (seeded by accum_id + sample index,
+    _raygen_soa) and the running-average arithmetic (the reference's
+    accumulate(), deviceCode.cu:267-274) are exactly those of `samples`
+    sequential single-sample+_finalize rounds, so the output accum/fb are
+    BIT-IDENTICAL to the sequential path (asserted in tests) while fixed
+    costs amortize and idle slots fill with real work.
+
+    init(samp_vec) -> (_State, _Consts, wrote);  refresh(s, c) -> s;
+    shade(s, c) -> (r, g, b, a);  inner_phase(s, c) -> s.
+    accum0 (L, 4) f32 / fb0 (L,) u32: prior accumulation state of these
+    lanes' pixels.  lp.accum_id: FIRST sample id of the batch.
+    Returns (accum (L, 4), fb (L,)).
+    """
+    from ..utils import color as colorlib
+
+    S = samples
+    s0, c0, w0 = init(jnp.zeros(fb0.shape[0], jnp.int32))
+    carry0 = dict(
+        s=s0, c=c0, wrote=w0.astype(jnp.int32),
+        samp=jnp.zeros(fb0.shape[0], jnp.int32),
+        ar=accum0[:, 0], ag=accum0[:, 1], ab=accum0[:, 2], aa=accum0[:, 3],
+        wany=jnp.zeros(fb0.shape[0], jnp.int32),
+    )
+
+    def retire(q):
+        """Accumulate finished samples (the reference's accumulate() lerp,
+        bit-for-bit) and restart those lanes on their next sample."""
+        s, c = q["s"], q["c"]
+        comp = (s.done != 0) & (q["samp"] < S)
+        rr, gg, bb, al = shade(s, c)
+        id_k = (lp.accum_id + q["samp"]).astype(F32)
+        sc = 1.0 / (id_k + 1.0)
+        upd = comp & (q["wrote"] != 0)
+        lerp = lambda new, old: jnp.where(upd, sc * new + (1.0 - sc) * old,
+                                          old)
+        ar, ag, ab = lerp(rr, q["ar"]), lerp(gg, q["ag"]), lerp(bb, q["ab"])
+        aa = lerp(al, q["aa"])
+        wany = (q["wany"] != 0) | upd
+        samp2 = jnp.where(comp, q["samp"] + 1, q["samp"])
+        more = comp & (samp2 < S)
+        ns, nc, nw = init(samp2)
+        pick = lambda n, o: jnp.where(
+            more[(...,) + (None,) * (n.ndim - 1)] if n.ndim > 1 else more,
+            n, o)
+        return dict(
+            s=_State(*(pick(a, b) for a, b in zip(ns, s))),
+            c=_Consts(*(pick(a, b) for a, b in zip(nc, c))),
+            wrote=jnp.where(more, nw.astype(jnp.int32), q["wrote"]),
+            samp=samp2, ar=ar, ag=ag, ab=ab, aa=aa,
+            wany=wany.astype(jnp.int32),
+        )
+
+    def outer_cond(carry):
+        q, it = carry
+        return jnp.any(q["samp"] < S) & (it < max_outer)
+
+    def outer_body(carry):
+        q, it = carry
+        need_service = jnp.any((q["s"].pending != 0)
+                               | ((q["s"].done != 0) & (q["samp"] < S)))
+        q = jax.lax.cond(need_service, service, lambda x: x, q)
+        q = dict(q, s=inner_phase(q["s"], q["c"]))
+        return (q, it + 1)
+
+    def service(q):
+        q = jax.lax.cond(
+            jnp.any((q["s"].done != 0) & (q["samp"] < S)),
+            retire, lambda x: x, q)
+        s = jax.lax.cond(jnp.any(q["s"].pending != 0),
+                         lambda s: refresh(s, q["c"]),
+                         lambda s: s, q["s"])
+        return dict(q, s=s)
+
+    q, _ = jax.lax.while_loop(outer_cond, outer_body,
+                              (carry0, jnp.int32(0)))
+    q = retire(q)   # the loop exits with final samples un-retired
+
+    wany = q["wany"] != 0
+    srgb = colorlib.linear_to_srgb(jnp.stack([q["ar"], q["ag"], q["ab"]],
+                                             axis=-1))
+    px = colorlib.make_rgba(jnp.concatenate([srgb, q["aa"][:, None]],
+                                            axis=-1))
+    accum = jnp.stack([q["ar"], q["ag"], q["ab"], q["aa"]], axis=-1)
+    fb = jnp.where(wany, px, fb0)
+    return accum, fb
+
+
+def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
+                      bands: RadialBands, lp, xs, ys, width: int, height: int,
+                      accum0, fb0, samples: int,
+                      steps_per_refresh: int = 8, max_outer: int = 16384):
+    """`samples` progressive samples per lane in ONE wavefront loop — the
+    f32-tier instantiation of batch_loop (see its docstring)."""
+    nb = bands.num_bands
+    edges = bands.edges
+    majors = bands.max_opacities
+    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
+    oo = ox * ox + oy * oy + oz * oz
+    org = (ox, oy, oz)
+    ud = lp.unit_distance
+
+    def init(samp):
+        return _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
+                           accum_id=lp.accum_id + samp)
+
+    def refresh(s, c):
+        return _refresh(s, c, loc, packed, org, oo)
+
+    def shade(s, c):
+        return _shade(s, c, packed.rgb, lp, oo)
+
+    def inner_phase(s, c):
+        for _ in range(steps_per_refresh):   # unrolled; see render_fast
+            s = step_core(s, c, edges, majors, org, oo, ud, nb)
+        return s
+
+    return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
+                      samples, max_outer)
+
+
 def _shade(s: _State, c: _Consts, rgb_table, lp, oo):
     """Composite color of a finished lane (ref: deviceCode.cu:333-340):
     classified RGB of the accepted sample x ambient, binary alpha."""
@@ -637,7 +769,7 @@ def _shade(s: _State, c: _Consts, rgb_table, lp, oo):
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
                                     "chunk", "use_pallas", "pallas_interpret",
-                                    "n_active", "return_cost"),
+                                    "n_active", "return_cost", "samples"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
@@ -646,7 +778,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       n_active: int | None = None,
                       use_pallas: bool = False,
                       pallas_interpret: bool = False,
-                      return_cost: bool = False):
+                      return_cost: bool = False,
+                      samples: int = 1):
     """Full-frame progressive step on the fast path (drop-in peer of
     render_frame_ae / render_frame_accel).
 
@@ -665,6 +798,13 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     return_cost: also return the measured per-PIXEL outer-iteration count
     in NATURAL pixel order (total,) i32 — feed to ops/order.refine_order
     to re-sort the next sample's lanes by actual cost.
+
+    samples: progressive samples traced per call.  samples > 1 uses the
+    in-lane batching loop (render_fast_batch): lp.accum_id is the FIRST
+    sample id and the result equals `samples` sequential samples=1 calls
+    bit-for-bit, several-fold faster (finished lanes restart on their
+    next sample instead of idling; fixed costs amortize).  Incompatible
+    with return_cost/use_pallas.
     """
     from .render import _finalize  # local import to avoid cycle
 
@@ -678,6 +818,18 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
         n_proc = total
     pix = pix[:n_proc]
     ys_all, xs_all = jnp.divmod(pix, width)
+
+    if samples > 1:
+        assert not return_cost and not use_pallas
+        accum_head, fb_head = _run_batched_generic(
+            lambda xs, ys, a0, f0: render_fast_batch(
+                cells, packed, loc, bands, lp, xs, ys, width, height,
+                a0, f0, samples, steps_per_refresh),
+            xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
+        if n_proc == total:
+            return accum_head, fb_head
+        return (jnp.concatenate([accum_head, accum[n_proc:]]),
+                jnp.concatenate([fb_head, fb[n_proc:]]))
 
     def run(xs, ys):
         return render_fast(cells, packed, loc, bands, lp, xs, ys,
@@ -714,6 +866,28 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     # scatter lane costs to natural pixel order; untraced pixels stay 0
     cost_nat = jnp.zeros(total, jnp.int32).at[pix].set(cost)
     return accum_out, fb_out, cost_nat
+
+
+def _run_batched_generic(batch_fn, xs_all, ys_all, accum_head, fb_head,
+                         chunk, n_proc):
+    """Chunked driver for the sample-batching loops (accum/fb updated
+    in-loop).  batch_fn(xs, ys, accum0, fb0) -> (accum, fb)."""
+    if n_proc <= chunk:
+        return batch_fn(xs_all, ys_all, accum_head, fb_head)
+    n = -(-n_proc // chunk)
+    pad = n * chunk - n_proc
+    if pad:
+        xs_all = jnp.concatenate([xs_all, jnp.zeros(pad, jnp.int32)])
+        ys_all = jnp.concatenate([ys_all, jnp.zeros(pad, jnp.int32)])
+        accum_head = jnp.concatenate(
+            [accum_head, jnp.zeros((pad, 4), F32)])
+        fb_head = jnp.concatenate(
+            [fb_head, jnp.zeros(pad, fb_head.dtype)])
+    a, f = jax.lax.map(
+        lambda c: batch_fn(c[0], c[1], c[2], c[3]),
+        (xs_all.reshape(n, chunk), ys_all.reshape(n, chunk),
+         accum_head.reshape(n, chunk, 4), fb_head.reshape(n, chunk)))
+    return a.reshape(-1, 4)[:n_proc], f.reshape(-1)[:n_proc]
 
 
 # ===========================================================================

@@ -28,7 +28,7 @@ from ..models.locator import LocatorCSR
 from ..models.qcells import QuantizedCells
 from ..models.shells import RadialBands
 from ..models.transfunc import Transfunc, post_classify
-from .fast import F32, _Consts, _State, _init_lanes, step_core
+from .fast import F32, _Consts, _State, _init_lanes, batch_loop, step_core
 
 __all__ = ["render_fast_q", "render_frame_fast_q"]
 
@@ -187,20 +187,56 @@ def render_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
     return wrote, color_alpha
 
 
+def render_fast_q_batch(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
+                        bands: RadialBands, tf: Transfunc, lp, xs, ys,
+                        width: int, height: int, accum0, fb0, samples: int,
+                        steps_per_refresh: int = 8, max_outer: int = 16384):
+    """`samples` progressive samples per lane in ONE wavefront loop — the
+    quantized-tier instantiation of ops/fast.batch_loop."""
+    nb = bands.num_bands
+    edges = bands.edges
+    majors = bands.max_opacities
+    lm = q.lm
+    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
+    oo = ox * ox + oy * oy + oz * oz
+    org = (ox, oy, oz)
+    ud = lp.unit_distance
+
+    def init(samp):
+        return _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
+                           prof_w=3 * lm, accum_id=lp.accum_id + samp)
+
+    def refresh(s, c):
+        return _refresh_q(s, c, loc, q, k_cap, org, oo)
+
+    def shade(s, c):
+        return _shade_q(s, c, lp, tf, oo, lm)
+
+    def inner_phase(s, c):
+        for _ in range(steps_per_refresh):   # unrolled; see ops/fast.py
+            s = step_core(s, c, edges, majors, org, oo, ud,
+                          nb, ml=lm, a_off=lm)
+        return s
+
+    return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
+                      samples, max_outer)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
                                     "chunk", "k_cap", "n_active",
-                                    "return_cost"),
+                                    "return_cost", "samples"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
                         bands: RadialBands, tf: Transfunc, lp, accum, fb, *,
                         width: int, height: int, steps_per_refresh: int = 8,
                         chunk: int = 4096, pixel_perm=None,
                         n_active: int | None = None,
-                        return_cost: bool = False):
+                        return_cost: bool = False,
+                        samples: int = 1):
     """Full-frame progressive step on the quantized tier — drop-in peer of
-    ops/fast.render_frame_fast (same pixel_perm / n_active / return_cost
-    contract)."""
+    ops/fast.render_frame_fast (same pixel_perm / n_active / return_cost /
+    samples contract)."""
     from .render import _finalize  # local import to avoid cycle
 
     total = width * height
@@ -213,6 +249,19 @@ def render_frame_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
         n_proc = total
     pix = pix[:n_proc]
     ys_all, xs_all = jnp.divmod(pix, width)
+
+    if samples > 1:
+        assert not return_cost
+        from .fast import _run_batched_generic
+        accum_head, fb_head = _run_batched_generic(
+            lambda xs, ys, a0, f0: render_fast_q_batch(
+                q, loc, k_cap, bands, tf, lp, xs, ys, width, height,
+                a0, f0, samples, steps_per_refresh),
+            xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
+        if n_proc == total:
+            return accum_head, fb_head
+        return (jnp.concatenate([accum_head, accum[n_proc:]]),
+                jnp.concatenate([fb_head, fb[n_proc:]]))
 
     def run(xs, ys):
         return render_fast_q(q, loc, k_cap, bands, tf, lp, xs, ys,

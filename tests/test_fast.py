@@ -173,3 +173,48 @@ def test_adaptive_reorder_bit_identical():
     np.testing.assert_array_equal(f_adapt, f_static)
     np.testing.assert_array_equal(a_adapt, a_static)
     assert (f_static != 0).any()
+
+
+def test_batched_samples_bit_identical():
+    """samples=S in one call must equal S sequential samples=1 calls
+    bit-for-bit (same per-sample RNG seeds, same accumulate() lerp order)."""
+    from icon_rt_tpu.ops.order import pixel_order
+
+    ds = synthetic.icosphere(subdivisions=2, num_layers=5)
+    stats = compute_stats(ds)
+    cells = build_cells(ds)
+    loc = build_locator(ds)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    bands = update_band_majorants(build_radial_bands(ds, 16),
+                                  tf.values, tf.value_range)
+    packed = pack_cells(cells, tf)
+    W = H = 32
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], W, H)
+    permj = jnp.asarray(perm)
+
+    # sequential: 1 warm sample then 4 more one at a time
+    a1, f1 = alloc_frame(W, H)
+    for s in range(5):
+        a1, f1 = render_frame_fast(cells, packed, loc, bands,
+                                   lp._replace(accum_id=jnp.int32(s)),
+                                   a1, f1, width=W, height=H, chunk=256,
+                                   pixel_perm=permj, n_active=n_active)
+    # batched: 1 + one samples=4 call (batch resumes mid-accumulation)
+    a2, f2 = alloc_frame(W, H)
+    a2, f2 = render_frame_fast(cells, packed, loc, bands,
+                               lp._replace(accum_id=jnp.int32(0)),
+                               a2, f2, width=W, height=H, chunk=256,
+                               pixel_perm=permj, n_active=n_active)
+    a2, f2 = render_frame_fast(cells, packed, loc, bands,
+                               lp._replace(accum_id=jnp.int32(1)),
+                               a2, f2, width=W, height=H, chunk=256,
+                               pixel_perm=permj, n_active=n_active,
+                               samples=4)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1))
+    assert (np.asarray(f1) != 0).any()

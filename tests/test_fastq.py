@@ -145,3 +145,27 @@ def test_quantized_rng_stream_is_fast_path(scene):
     a2, f2 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf, lp,
                                  *alloc_frame(W, H), width=W, height=H)
     assert (np.asarray(a1)[:, 3] == np.asarray(a2)[:, 3]).mean() > 0.995
+
+
+def test_batched_samples_bit_identical_q(scene):
+    """samples=S on the quantized tier equals S sequential calls: the
+    packed framebuffer bit-for-bit, the accumulator to 1 ulp (XLA fuses
+    the shade lerp differently across the two programs on this tier)."""
+    ds_q, stats, tf, q, loc_csr, k_cap, bands = scene
+    W = H = 32
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    a1, f1 = alloc_frame(W, H)
+    for s in range(4):
+        a1, f1 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf,
+                                     lp._replace(accum_id=jnp.int32(s)),
+                                     a1, f1, width=W, height=H, chunk=512)
+    a2, f2 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf,
+                                 lp._replace(accum_id=jnp.int32(0)),
+                                 *alloc_frame(W, H), width=W, height=H,
+                                 chunk=512, samples=4)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=0,
+                               atol=2.5e-7)
