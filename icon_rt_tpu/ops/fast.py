@@ -23,9 +23,11 @@ gather-bound.  This raygen is a from-scratch design around that constraint
     time.  Gathers happen only when a lane's sample exits its cached
     column ("refresh"), and all stalled lanes share one batched refresh.
   * Two-phase loop: an outer while iteration performs one batched locator
-    refresh, then `steps_per_refresh` gather-free steps.  The gather-free
-    phase can run either as plain XLA or as a Pallas kernel that keeps the
-    whole per-lane state resident in VMEM across steps (use_pallas=True).
+    refresh, then `steps_per_refresh` gather-free steps, Python-unrolled so
+    XLA fuses them into one kernel.  (A Pallas VMEM-resident kernel of the
+    same phase was built and measured twice — 3.5x slower in round 1,
+    3x slower after round 2's fixes, worse at higher spr — and removed;
+    docs/ROUND2.md records the numbers.)
   * Ray ordering (ops/order.py) sorts pixels by expected cost so the
     lane-masked loop isn't bound by one slow ray per 64k chunk.
 
@@ -130,10 +132,8 @@ def pack_cells(cells: Cells, tf: Transfunc) -> PackedCells:
 
 
 # ===========================================================================
-# Shape-agnostic step math (shared by the XLA and Pallas paths).
-# All per-lane arrays are (L,) / (L, W); L may be a full chunk or a
-# Pallas block.  Boolean lane masks are int32 0/1 so the same arrays can
-# live in VMEM refs.
+# Shape-agnostic step math.  All per-lane arrays are (L,) / (L, W);
+# boolean lane masks are int32 0/1.
 # ===========================================================================
 
 class _State(NamedTuple):
@@ -341,90 +341,6 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
 
 
 # ===========================================================================
-# Pallas execution of the gather-free phase: the whole per-lane state stays
-# VMEM-resident across `steps` iterations instead of streaming through HBM
-# every step.
-# ===========================================================================
-
-#: lanes per Pallas block: state is ~185 f32/lane and pallas double-buffers
-#: input and output blocks, so keep well under the 16 MB VMEM budget
-_PALLAS_BLOCK = 1024
-
-
-def _pallas_inner(state: _State, consts: _Consts, edges, majors, org, oo,
-                  ud, nb: int, steps: int, interpret: bool = False) -> _State:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    L = state.t.shape[0]
-    blk = min(_PALLAS_BLOCK, L)
-    assert L % blk == 0
-    grid = (L // blk,)
-    scal = jnp.stack([org[0], org[1], org[2], oo,
-                      jnp.asarray(ud, F32)]).reshape(1, 5)
-
-    n_state = len(state)
-    n_consts = len(consts)
-
-    def kernel(*refs):
-        state_refs = refs[:n_state]
-        const_refs = refs[n_state:n_state + n_consts]
-        edges_ref, majors_ref, scal_ref = refs[n_state + n_consts:
-                                               n_state + n_consts + 3]
-        out_refs = refs[n_state + n_consts + 3:]
-        c = _Consts(*(r[:] for r in const_refs))
-        e = edges_ref[0, :]
-        mj = majors_ref[0, :]
-        sc = scal_ref[0, :]
-        org_k = (sc[0], sc[1], sc[2])
-        oo_k = sc[3]
-        ud_k = sc[4]
-
-        st = _State(*(r[:] for r in state_refs))
-
-        def body(i, st):
-            return step_core(st, c, e, mj, org_k, oo_k, ud_k, nb)
-        st = jax.lax.fori_loop(0, steps, body, st)
-        for r, v in zip(out_refs, st):
-            r[:] = v
-
-    def spec_1d():
-        return pl.BlockSpec((blk,), lambda i: (i,),
-                            memory_space=pltpu.ANY if False else pltpu.VMEM)
-
-    def spec_2d(w):
-        return pl.BlockSpec((blk, w), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    def spec_for(arr):
-        return spec_2d(arr.shape[1]) if arr.ndim == 2 else spec_1d()
-
-    def full_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda i: tuple(0 for _ in arr.shape),
-                            memory_space=pltpu.VMEM)
-
-    edges2 = edges.reshape(1, -1)
-    majors2 = majors.reshape(1, -1)
-    in_specs = ([spec_for(a) for a in state]
-                + [spec_for(a) for a in consts]
-                + [full_spec(edges2), full_spec(majors2), full_spec(scal)])
-    out_specs = tuple(spec_for(a) for a in state)
-    out_shape = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in state)
-    aliases = {i: i for i in range(n_state)}
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        input_output_aliases=aliases,
-        interpret=interpret,
-    )(*state, *consts, edges2, majors2, scal)
-    return _State(*out)
-
-
-# ===========================================================================
 # The render kernel
 # ===========================================================================
 
@@ -559,7 +475,6 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
 def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 bands: RadialBands, lp, xs, ys, width: int, height: int,
                 steps_per_refresh: int = 8, max_outer: int = 16384,
-                use_pallas: bool = False, pallas_interpret: bool = False,
                 return_cost: bool = False):
     """One progressive sample for a batch of pixels.
 
@@ -585,9 +500,6 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         return _refresh(s, consts, loc, packed, org, oo)
 
     def inner_phase(s: _State) -> _State:
-        if use_pallas:
-            return _pallas_inner(s, consts, edges, majors, org, oo, ud, nb,
-                                 steps_per_refresh, interpret=pallas_interpret)
         # Python-unrolled on purpose: a lax.fori_loop would make every step
         # its own kernel, streaming the ~180 f32/lane live state through HBM
         # per step; unrolled, XLA fuses all steps_per_refresh steps into one
@@ -768,16 +680,14 @@ def _shade(s: _State, c: _Consts, rgb_table, lp, oo):
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
-                                    "chunk", "use_pallas", "pallas_interpret",
-                                    "n_active", "return_cost", "samples"),
+                                    "chunk", "n_active", "return_cost",
+                                    "samples"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
                       width: int, height: int, steps_per_refresh: int = 8,
                       chunk: int = 4096, pixel_perm=None,
                       n_active: int | None = None,
-                      use_pallas: bool = False,
-                      pallas_interpret: bool = False,
                       return_cost: bool = False,
                       samples: int = 1):
     """Full-frame progressive step on the fast path (drop-in peer of
@@ -804,7 +714,7 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     sample id and the result equals `samples` sequential samples=1 calls
     bit-for-bit, several-fold faster (finished lanes restart on their
     next sample instead of idling; fixed costs amortize).  Incompatible
-    with return_cost/use_pallas.
+    with return_cost.
     """
     from .render import _finalize  # local import to avoid cycle
 
@@ -820,7 +730,7 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     ys_all, xs_all = jnp.divmod(pix, width)
 
     if samples > 1:
-        assert not return_cost and not use_pallas
+        assert not return_cost
         accum_head, fb_head = _run_batched_generic(
             lambda xs, ys, a0, f0: render_fast_batch(
                 cells, packed, loc, bands, lp, xs, ys, width, height,
@@ -834,8 +744,6 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     def run(xs, ys):
         return render_fast(cells, packed, loc, bands, lp, xs, ys,
                            width, height, steps_per_refresh,
-                           use_pallas=use_pallas,
-                           pallas_interpret=pallas_interpret,
                            return_cost=return_cost)
 
     if n_proc <= chunk:

@@ -105,28 +105,6 @@ def test_fast_deterministic():
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
 
 
-def test_fast_pallas_interpret_matches_xla():
-    """The Pallas inner phase (interpret mode) must be bit-identical to the
-    XLA inner phase."""
-    W = H = 64  # 4096 lanes = one pallas block
-    ds, stats, cam = _scene()
-    cells = build_cells(ds)
-    loc = build_locator(ds)
-    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
-    bands = update_band_majorants(build_radial_bands(ds, 8),
-                                  tf.values, tf.value_range)
-    packed = pack_cells(cells, tf)
-    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
-                            stats.world_bounds_hi, unit_distance=5.0)
-    a0, f0 = render_frame_fast(cells, packed, loc, bands, lp,
-                               *alloc_frame(W, H), width=W, height=H)
-    a1, f1 = render_frame_fast(cells, packed, loc, bands, lp,
-                               *alloc_frame(W, H), width=W, height=H,
-                               use_pallas=True, pallas_interpret=True)
-    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
-    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
-
-
 def test_adaptive_reorder_bit_identical():
     """Measured-cost reordering (order.refine_order) between samples must
     not change the unpermuted image: the RNG stream is per-pixel, so lane
