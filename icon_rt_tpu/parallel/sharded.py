@@ -163,7 +163,8 @@ def plan_fast_sharding(perm: np.ndarray, n_active: int, n_tiles: int,
 def render_frame_fast_sharded(mesh: Mesh, cells: Cells, packed, locator,
                               bands, lp: LaunchParams, accum, fb,
                               local_pix, *, width: int, height: int,
-                              chunk: int = 4096, steps_per_refresh: int = 8):
+                              chunk: int = 4096, steps_per_refresh: int = 8,
+                              samples: int = 1):
     """One progressive fast-raygen step over the mesh.
 
     local_pix: (n_tiles * p_local,) i32 flattened plan_fast_sharding output,
@@ -171,16 +172,43 @@ def render_frame_fast_sharded(mesh: Mesh, cells: Cells, packed, locator,
     are in DEALT order — scatter_fast_frame restores natural pixel order on
     the host.  With a 'samples' axis of size S, device (t, s) renders its
     tile at accum_id = lp.accum_id * S + s and a psum averages the batch.
+
+    samples > 1 traces that many sequential progressive samples per call
+    via in-lane batching (ops/fast.batch_loop) on each device — same
+    bit-identical-to-sequential semantics as the single-device path.
+    Requires a tiles-only mesh (combining in-lane batching with the psum
+    sample axis would mix two accumulation orders).
     """
-    from ..ops.fast import render_fast
+    from ..ops.fast import render_fast, render_fast_batch
 
     n_samples = mesh.shape["samples"]
+    assert samples == 1 or n_samples == 1, \
+        "in-lane samples need a tiles-only mesh"
     p_local = local_pix.shape[-1] if local_pix.ndim == 2 \
         else local_pix.shape[0] // mesh.shape["tiles"]
 
     def body(cells_, packed_, locator_, bands_, lp_, pix, accum_l, fb_l):
         s = jax.lax.axis_index("samples")
         lp_s = lp_._replace(accum_id=lp_.accum_id * n_samples + s)
+
+        if samples > 1:
+            def run_b(pix_c, a0, f0):
+                safe = jnp.maximum(pix_c, 0)
+                ys, xs = jnp.divmod(safe, width)
+                # padding lanes (pix < 0) render pixel 0 into their own
+                # dealt slot, which scatter_fast_frame never reads
+                return render_fast_batch(cells_, packed_, locator_, bands_,
+                                         lp_s, xs, ys, width, height,
+                                         a0, f0, samples, steps_per_refresh)
+
+            if p_local <= chunk:
+                return run_b(pix, accum_l, fb_l)
+            n = p_local // chunk
+            a, f = jax.lax.map(
+                lambda c: run_b(c[0], c[1], c[2]),
+                (pix.reshape(n, chunk), accum_l.reshape(n, chunk, 4),
+                 fb_l.reshape(n, chunk)))
+            return a.reshape(-1, 4), f.reshape(-1)
 
         def run(pix_c):
             safe = jnp.maximum(pix_c, 0)
@@ -215,13 +243,14 @@ def render_frame_fast_sharded(mesh: Mesh, cells: Cells, packed, locator,
 
 
 def jit_render_frame_fast_sharded(mesh, *, width, height, chunk=4096,
-                                  steps_per_refresh=8, donate=True):
+                                  steps_per_refresh=8, samples=1,
+                                  donate=True):
     """Jitted closure over the static configuration."""
     def step(cells, packed, locator, bands, lp, accum, fb, local_pix):
         return render_frame_fast_sharded(
             mesh, cells, packed, locator, bands, lp, accum, fb, local_pix,
             width=width, height=height, chunk=chunk,
-            steps_per_refresh=steps_per_refresh)
+            steps_per_refresh=steps_per_refresh, samples=samples)
     kw = dict(donate_argnums=(5, 6)) if donate else {}
     return jax.jit(step, **kw)
 

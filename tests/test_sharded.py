@@ -181,3 +181,56 @@ def test_fast_sharded_cost_dealt():
     a_ref, f_ref = render_frame_fast(cells, packed, loc, bands, lp,
                                      *alloc_frame(W, H), width=W, height=H)
     np.testing.assert_array_equal(img, np.asarray(f_ref))
+
+
+def test_fast_sharded_inlane_samples():
+    """samples=S on the sharded fast path equals S sequential sharded
+    steps bit-for-bit (in-lane batching under shard_map)."""
+    from icon_rt_tpu.models.shells import build_radial_bands, update_band_majorants
+    from icon_rt_tpu.ops.fast import pack_cells
+    from icon_rt_tpu.ops.order import pixel_order
+    from icon_rt_tpu.parallel.sharded import (alloc_fast_sharded_frame,
+                                              jit_render_frame_fast_sharded,
+                                              plan_fast_sharding,
+                                              scatter_fast_frame,
+                                              shard_local_pix)
+    from icon_rt_tpu.data import synthetic as syn
+
+    W, H = 32, 24
+    ds = syn.icosphere(subdivisions=2, num_layers=4)
+    stats = compute_stats(ds)
+    cells = build_cells(ds)
+    loc = build_locator(ds)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    bands = update_band_majorants(build_radial_bands(ds, 8),
+                                  tf.values, tf.value_range)
+    packed = pack_cells(cells, tf)
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], W, H)
+
+    T, chunk = 8, 16
+    local = plan_fast_sharding(perm, n_active, T, chunk)
+    mesh = make_mesh(tiles=T, samples=1)
+    pix_dev = shard_local_pix(mesh, local)
+
+    step1 = jit_render_frame_fast_sharded(mesh, width=W, height=H,
+                                          chunk=chunk, donate=False)
+    a1, f1 = alloc_fast_sharded_frame(mesh, local)
+    for s in range(3):
+        a1, f1 = step1(cells, packed, loc, bands,
+                       lp._replace(accum_id=jnp.int32(s)), a1, f1, pix_dev)
+
+    stepS = jit_render_frame_fast_sharded(mesh, width=W, height=H,
+                                          chunk=chunk, samples=3,
+                                          donate=False)
+    a3, f3 = alloc_fast_sharded_frame(mesh, local)
+    a3, f3 = stepS(cells, packed, loc, bands,
+                   lp._replace(accum_id=jnp.int32(0)), a3, f3, pix_dev)
+
+    np.testing.assert_array_equal(
+        scatter_fast_frame(gather_frame(f3), local, W, H),
+        scatter_fast_frame(gather_frame(f1), local, W, H))
