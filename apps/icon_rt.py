@@ -50,9 +50,11 @@ def parse_app_args(argv):
             # sampling here (locator); 2 selects the wedge Newton sampler.
             cfg["mode"] = int(argv[i + 1])
             if cfg["mode"] == 2:
-                # cuBQL mode: wedge Newton sampling inside the parity raygen
+                # cuBQL mode: wedge sampling.  Orthogonal to the raygen
+                # choice (as in the reference, toggleMode vs toggleRayGen,
+                # hostCode.cu:138-168): the fast raygen uses the gather-free
+                # wedge tier, the parity raygens the Newton sampler.
                 cfg["sampler"] = "wedge"
-                cfg["raygen"] = "accel"
             else:
                 cfg["sampler"] = "locator"
             i += 1
@@ -205,6 +207,20 @@ def build(argv):
             struct["packed"] = pack_cells(cells, device["tf"])
         return struct["packed"]
 
+    def get_bands_wedge():
+        from icon_rt_tpu.models.shells import build_radial_bands_wedge
+        if struct.get("bands_w") is None:
+            struct["bands_w"] = update_band_majorants(
+                build_radial_bands_wedge(ds, cfg["bands"]),
+                device["tf"].values, device["tf"].value_range)
+        return struct["bands_w"]
+
+    def get_packed_wedge():
+        from icon_rt_tpu.ops.fast import pack_cells_wedge
+        if struct.get("packed_w") is None:
+            struct["packed_w"] = pack_cells_wedge(cells, device["tf"])
+        return struct["packed_w"]
+
     def get_q():
         """Quantized tier (--quantized): cells + CSR locator; TF edits
         re-bake only the u8 alpha channel (models/qcells.bake_alpha_q)."""
@@ -262,6 +278,13 @@ def build(argv):
                 device["tf"].value_range)
         if struct["packed"] is not None:
             struct["packed"] = pack_cells(cells, device["tf"])
+        if struct.get("bands_w") is not None:
+            struct["bands_w"] = update_band_majorants(
+                struct["bands_w"], device["tf"].values,
+                device["tf"].value_range)
+        if struct.get("packed_w") is not None:
+            from icon_rt_tpu.ops.fast import pack_cells_wedge
+            struct["packed_w"] = pack_cells_wedge(cells, device["tf"])
 
     pl.set_transfunc_update_handler(on_tf_update)
     on_tf_update(pl.transfunc, 0)
@@ -303,6 +326,14 @@ def build(argv):
                     frame["accum"], frame["fb"],
                     width=W, height=H, pixel_perm=frame["perm"],
                     n_active=frame["n_active"])
+            elif sampler == "wedge":
+                # mode 2 on the fast raygen: the gather-free wedge tier
+                # (live toggle peer of hostCode.cu:151-168)
+                frame["accum"], frame["fb"] = render_frame_fast(
+                    cells, get_packed_wedge(), locator, get_bands_wedge(),
+                    lp, frame["accum"], frame["fb"],
+                    width=W, height=H, pixel_perm=frame["perm"],
+                    n_active=frame["n_active"], sampler="wedge")
             else:
                 frame["accum"], frame["fb"] = render_frame_fast(
                     cells, get_packed(), locator, get_bands(), lp,

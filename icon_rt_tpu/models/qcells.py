@@ -169,5 +169,17 @@ def bake_alpha_q(q: QuantizedCells, tf: Transfunc) -> QuantizedCells:
     a_tab = _classify_alpha_table(tf, q.value_lo, q.value_hi)
     a_max = jnp.maximum(jnp.max(a_tab), jnp.float32(1e-8))
     q_tab = jnp.floor(a_tab / a_max * 255.0).astype(jnp.uint8)
-    alpha_q = q_tab[q.value_q.astype(jnp.int32)]
+    # the lookup runs FLAT and in bounded slices: a (N, 16) s32 index
+    # intermediate tiles to (8, 128) lanes on TPU — an 8x pad that is
+    # 43 GB at R2B9 (the r2b9q bench row OOMed at compile on exactly
+    # this); flat slices keep the temp at ~256 MB
+    n, lm = q.value_q.shape
+    flat = q.value_q.reshape(-1)
+    ch = min(1 << 26, flat.shape[0]) or 1
+    pad = (-flat.shape[0]) % ch
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
+    out = jax.lax.map(lambda c: q_tab[c.astype(jnp.int32)],
+                      flat.reshape(-1, ch))
+    alpha_q = out.reshape(-1)[:n * lm].reshape(n, lm)
     return q._replace(alpha_q=alpha_q, alpha_max=a_max)

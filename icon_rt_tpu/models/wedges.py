@@ -145,3 +145,61 @@ def sample_wedges(cells: Cells, wedges: Wedges, loc: Locator, pos):
     hit = jnp.any(hits)
     first = jnp.argmax(hits)
     return hit, jnp.where(hit, vals[first], 0.0)
+
+
+def bv_all(values: np.ndarray, num_layers: np.ndarray) -> np.ndarray:
+    """(N, MAX_LAYERS) per-wedge constant scalar for every layer — the
+    vectorized _bv (ref: hostCode.cu:574 and its getValue height-snap
+    quirk): bv[0] = value[0]; bv[L] = (value[max(L-2,0)]
+    + value[max(L-1,0)]) / 2.  Entries past num_layers are value[0]-ish
+    garbage; callers mask by layer count."""
+    values = np.asarray(values, F)
+    n, ml = values.shape
+    L = np.arange(ml)
+    prev = values[:, np.maximum(L - 2, 0)]
+    cur = values[:, np.maximum(L - 1, 0)]
+    out = 0.5 * (prev + cur)
+    out[:, 0] = values[:, 0]
+    return out.astype(F)
+
+
+def column_min_norm(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """(N,) minimum norm over the chordal hull of a column's three corner
+    unit vectors: a flat triangular face at height h spans radii
+    [h * mn, h], so wedge radial extents (and band majorant attribution)
+    must inflate downward by this factor."""
+    lat = np.asarray(lat, F)
+    lon = np.asarray(lon, F)
+    cl = np.cos(lat)
+    u = np.stack([cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)],
+                 axis=-1)                                     # (N, 3, 3)
+
+    def seg_min(a, b):
+        """Min |x| over the segment a..b, per row."""
+        d = b - a
+        tt = -np.sum(a * d, axis=-1) / np.maximum(
+            np.sum(d * d, axis=-1), 1e-30)
+        tt = np.clip(tt, 0.0, 1.0)
+        p = a + tt[:, None] * d
+        return np.sqrt(np.sum(p * p, axis=-1))
+
+    # closest point of the supporting plane; valid when inside the triangle
+    n = np.cross(u[:, 1] - u[:, 0], u[:, 2] - u[:, 0])
+    nn = np.maximum(np.sum(n * n, axis=-1), 1e-30)
+    c = np.sum(u[:, 0] * n, axis=-1)
+    q = (c / nn)[:, None] * n
+    # barycentric inside test via same-side sign of sub-triangle dets
+    def tri_in(q):
+        s = []
+        for i in range(3):
+            a, b = u[:, i], u[:, (i + 1) % 3]
+            s.append(np.sum(np.cross(b - a, q - a) * n, axis=-1))
+        s = np.stack(s, axis=-1)
+        return (s >= 0).all(axis=-1) | (s <= 0).all(axis=-1)
+
+    edge_min = np.minimum(seg_min(u[:, 0], u[:, 1]),
+                          np.minimum(seg_min(u[:, 1], u[:, 2]),
+                                     seg_min(u[:, 2], u[:, 0])))
+    mn = np.where(tri_in(q), np.minimum(np.abs(c) / np.sqrt(nn), edge_min),
+                  edge_min)
+    return np.minimum(mn, 1.0).astype(F)

@@ -107,11 +107,25 @@ def pack_profile_rows(cells: Cells, tf: Transfunc
     heights_hi = jnp.where(valid, heights_hi, jnp.float32(np.inf))
 
     # postClassify arithmetic (ref: deviceCode.cu:127-135), channel-planar
+    chans = _classify_channels(cells.value, cells.num_layers, tf)
+    prof = jnp.concatenate([heights_hi, chans[3]], axis=1)
+    rgb = jnp.concatenate(chans[:3], axis=1)
+    return prof, rgb
+
+
+def pack_cells(cells: Cells, tf: Transfunc) -> PackedCells:
+    prof, rgb = pack_profile_rows(cells, tf)
+    return PackedCells(test=pack_test_rows(cells), prof=prof, rgb=rgb)
+
+
+def _classify_channels(values, nl, tf: Transfunc):
+    """postClassify per channel over (N, 32) value arrays (see
+    pack_profile_rows); returns [R, G, B, A] each (N, 32)."""
     size = tf.size
-    v = cells.value                                    # (N, 32)
-    vn = (v - tf.value_range[0]) / (tf.value_range[1] - tf.value_range[0])
+    vn = (values - tf.value_range[0]) \
+        / (tf.value_range[1] - tf.value_range[0])
     vs = vn * jnp.float32(size)
-    idx = vs.astype(jnp.int32)                         # trunc toward zero
+    idx = vs.astype(jnp.int32)
     frac = vs - idx.astype(jnp.float32)
     i1 = jnp.clip(idx, 0, size - 1)
     i2 = jnp.clip(idx + 1, 0, size - 1)
@@ -121,14 +135,56 @@ def pack_profile_rows(cells: Cells, tf: Transfunc
         scale = jnp.where(c == 3, tf.opacity_scale.astype(jnp.float32),
                           jnp.float32(1.0))
         chans.append(lut_c[i1] * frac + lut_c[i2] * (1.0 - frac) * scale)
-    prof = jnp.concatenate([heights_hi, chans[3]], axis=1)
-    rgb = jnp.concatenate(chans[:3], axis=1)
-    return prof, rgb
+    return chans
 
 
-def pack_cells(cells: Cells, tf: Transfunc) -> PackedCells:
-    prof, rgb = pack_profile_rows(cells, tf)
-    return PackedCells(test=pack_test_rows(cells), prof=prof, rgb=rgb)
+def pack_cells_wedge(cells: Cells, tf: Transfunc) -> PackedCells:
+    """Packed tables for the FAST WEDGE sampler (the reference's mode 2 /
+    cuBQL path made gather-free).
+
+    Key facts that make this cacheable (ref: hostCode.cu:556-600):
+      * the '#if 1' branch assigns the BOTTOM scalar bv to all six wedge
+        vertices — the sampled value is CONSTANT per wedge, so per-layer
+        classified alpha/RGB can be pre-baked exactly like the locator
+        tier, just from bv (models/wedges.bv_all) instead of value;
+      * wedge faces are FLAT triangles whose supporting planes share one
+        normal per column (all corners sit on the same three radial
+        lines), and with n' = cross(u2-u1, u3-u1) / det(u1,u2,u3) the
+        face at height h is exactly {x : dot(x, n') = h} — so layer
+        lookup is the SAME compare-against-heights machinery with the
+        flat coordinate s = dot(P, n') substituted for the radius.
+
+    test: (N, 32) — pack_test_rows layout in 0..14, n' in 16..18 (15 and
+    19..31 pad).  prof: (N, 64) h|A_bv.  rgb: (N, 96) bv RGB.
+    """
+    from ..models.wedges import bv_all
+
+    n = cells.num_cells
+    rows = jnp.zeros((n, 32), F32)
+    rows = rows.at[:, :16].set(pack_test_rows(cells))
+
+    lat = np.asarray(cells.lat)
+    lon = np.asarray(cells.lon)
+    cl = np.cos(lat)
+    u = np.stack([cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)],
+                 axis=-1)                                  # (N, 3, 3)
+    nrm = np.cross(u[:, 1] - u[:, 0], u[:, 2] - u[:, 0])
+    det = np.einsum("ij,ij->i", u[:, 0], nrm)
+    nprime = (nrm / np.where(np.abs(det) < 1e-30, 1e-30, det)[:, None]
+              ).astype(np.float32)
+    rows = rows.at[:, 16:19].set(jnp.asarray(nprime))
+
+    bv = jnp.asarray(bv_all(np.asarray(cells.value),
+                            np.asarray(cells.num_layers)))
+    heights_hi = jnp.concatenate(
+        [cells.height[:, 1:], cells.height[:, -1:]], axis=1)
+    k = jnp.arange(1, MAX_LAYERS + 1)
+    valid = k[None, :] <= cells.num_layers[:, None]
+    heights_hi = jnp.where(valid, heights_hi, jnp.float32(np.inf))
+    rr, gg, bb, aa = _classify_channels(bv, cells.num_layers, tf)
+    prof = jnp.concatenate([heights_hi, aa], axis=1)
+    rgb = jnp.concatenate([rr, gg, bb], axis=1)
+    return PackedCells(test=rows, prof=prof, rgb=rgb)
 
 
 # ===========================================================================
@@ -261,8 +317,14 @@ def _band_of(r, edges, nb):
 
 def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
               nb: int, ml: int = MAX_LAYERS,
-              a_off: int = MAX_LAYERS) -> _State:
+              a_off: int = MAX_LAYERS, flat_vert: bool = False) -> _State:
     """One gather-free iteration of the tracking machine.
+
+    flat_vert (the fast WEDGE sampler): containment + layer lookup use the
+    flat-face coordinate s = dot(P, n') (n' cached in c_test[:, 16:19])
+    instead of the radius — wedge faces are planes, not spheres (see
+    pack_cells_wedge).  Band/segment traversal stays radial either way
+    (the majorant field is radial bands in both tiers).
 
     Lane lifecycle per Woodcock sample:
       STEP  — draw the flight distance; overshoot -> band/segment advance;
@@ -309,12 +371,16 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
     px = ox + c.dx * t_new
     py = oy + c.dy * t_new
     pz = oz + c.dz * t_new
-    r = _r_of(t_new, c.od, oo)
+    if flat_vert:
+        coord = (px * s.c_test[:, 16] + py * s.c_test[:, 17]
+                 + pz * s.c_test[:, 18])
+    else:
+        coord = _r_of(t_new, c.od, oo)
     in_cache = samp_new & (s.c_valid != 0) \
-        & _point_in_test_row(s.c_test, px, py, pz, r)
+        & _point_in_test_row(s.c_test, px, py, pz, coord)
     to_pending = samp_new & ~in_cache
     hit_vol = in_cache | (in_eval & (s.c_hit != 0))
-    aa = _alpha_at(s.c_prof, r, ml, a_off)
+    aa = _alpha_at(s.c_prof, coord, ml, a_off)
     rng2, uu = lcg_next(rng_a)
     rng_b = jnp.where(hit_vol, rng2, rng_a)
     accept = hit_vol & (aa >= uu * s.m)
@@ -371,7 +437,7 @@ def _raygen_soa(lp, xs, ys, width, height, accum_id=None):
 
 
 def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
-                prof_w: int = PROF_W, accum_id=None):
+                prof_w: int = PROF_W, accum_id=None, test_w: int = 16):
     """Full per-lane initialization: raygen + shell clip + first band.
     Returns (_State, _Consts, wrote) for a batch of pixels."""
     dx, dy, dz, od, rng = _raygen_soa(lp, xs, ys, width, height, accum_id)
@@ -410,7 +476,7 @@ def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
         t=seg_lo, seg_end=seg_end0, seg_hi=seg_hi, band=band0,
         was_in=was_in0.astype(jnp.int32), m=m0, si=si0,
         pending=zero_i,
-        c_test=jnp.zeros((L, 16), F32),
+        c_test=jnp.zeros((L, test_w), F32),
         c_prof=jnp.full((L, prof_w), jnp.float32(np.inf), F32),
         c_cid=zero_i,
         c_hit=zero_i, in_eval=zero_i, c_valid=zero_i,
@@ -423,9 +489,11 @@ def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
 
 
 def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
-             org, oo) -> _State:
+             org, oo, flat_vert: bool = False) -> _State:
     """Batched locator query for pending lanes; refreshes column caches.
-    The only gathers in the render loop (bins + test rows + profile row)."""
+    The only gathers in the render loop (bins + test rows + profile row).
+    flat_vert: candidate containment uses the per-candidate flat-face
+    coordinate instead of the radius (fast wedge tier)."""
     ox, oy, oz = org
     n_lat = loc.dims[0]
     n_lon = loc.dims[1]
@@ -444,15 +512,20 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
     cand = loc.bins[bid]                             # (L, K) gather
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
-    trows = packed.test[safe]                        # (L, K, 16) gather
+    trows = packed.test[safe]                        # (L, K, 16|32) gather
     ev1 = (trows[..., 0] * px[:, None] + trows[..., 1] * py[:, None]
            + trows[..., 2] * pz[:, None] - trows[..., 3])
     ev2 = (trows[..., 4] * px[:, None] + trows[..., 5] * py[:, None]
            + trows[..., 6] * pz[:, None] - trows[..., 7])
     ev3 = (trows[..., 8] * px[:, None] + trows[..., 9] * py[:, None]
            + trows[..., 10] * pz[:, None] - trows[..., 11])
-    inside = (valid & (r[:, None] >= trows[..., 12])
-              & (r[:, None] <= trows[..., 13])
+    if flat_vert:
+        coord = (trows[..., 16] * px[:, None] + trows[..., 17] * py[:, None]
+                 + trows[..., 18] * pz[:, None])
+    else:
+        coord = r[:, None]
+    inside = (valid & (coord >= trows[..., 12])
+              & (coord <= trows[..., 13])
               & (ev1 <= 0.0) & (ev2 <= 0.0) & (ev3 <= 0.0))
     hit = jnp.any(inside, axis=1)
     slot = jnp.argmax(inside, axis=1)
@@ -475,15 +548,21 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
 def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 bands: RadialBands, lp, xs, ys, width: int, height: int,
                 steps_per_refresh: int = 8, max_outer: int = 16384,
-                return_cost: bool = False):
+                return_cost: bool = False, sampler: str = "locator"):
     """One progressive sample for a batch of pixels.
 
     lp: ops.render.LaunchParams.  xs, ys: (L,) i32 pixel coords.
     Returns (wrote (L,) bool, color_alpha (L, 4) f32); with return_cost
     also the per-lane outer-iteration count at completion (L,) i32 — the
     measured cost that drives adaptive re-ordering (ops/order.refine_order).
+
+    sampler: 'locator' (per-layer cell values, the default tier) or
+    'wedge' (the reference's mode-2 wedge estimator made gather-free;
+    packed must come from pack_cells_wedge and bands from
+    models/shells.build_radial_bands_wedge).
     """
     L = xs.shape[0]
+    fv = sampler == "wedge"
     nb = bands.num_bands
     edges = bands.edges                      # (B+1,)
     majors = bands.max_opacities             # (B,)
@@ -494,10 +573,11 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
     ud = lp.unit_distance
 
     init, consts, wrote = _init_lanes(lp, xs, ys, width, height,
-                                      edges, majors, oo, nb)
+                                      edges, majors, oo, nb,
+                                      test_w=packed.test.shape[1])
 
     def refresh(s: _State) -> _State:
-        return _refresh(s, consts, loc, packed, org, oo)
+        return _refresh(s, consts, loc, packed, org, oo, flat_vert=fv)
 
     def inner_phase(s: _State) -> _State:
         # Python-unrolled on purpose: a lax.fori_loop would make every step
@@ -505,7 +585,8 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         # per step; unrolled, XLA fuses all steps_per_refresh steps into one
         # kernel and the state makes ONE HBM round trip per outer iteration.
         for _ in range(steps_per_refresh):
-            s = step_core(s, consts, edges, majors, org, oo, ud, nb)
+            s = step_core(s, consts, edges, majors, org, oo, ud, nb,
+                          flat_vert=fv)
         return s
 
     def outer_cond(carry):
@@ -527,7 +608,8 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
     # accepting lane sets done with t at the collision and its cache still
     # holding the collided column's heights + cell id (ONE rgb-row gather
     # per ray, not per step)
-    color_alpha = jnp.stack(_shade(out, consts, packed.rgb, lp, oo), axis=-1)
+    color_alpha = jnp.stack(_shade(out, consts, packed.rgb, lp, oo,
+                                   flat_vert=fv), axis=-1)
     if return_cost:
         return wrote, color_alpha, jnp.maximum(fin, 0)
     return wrote, color_alpha
@@ -632,9 +714,11 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
 def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, xs, ys, width: int, height: int,
                       accum0, fb0, samples: int,
-                      steps_per_refresh: int = 8, max_outer: int = 16384):
+                      steps_per_refresh: int = 8, max_outer: int = 16384,
+                      sampler: str = "locator"):
     """`samples` progressive samples per lane in ONE wavefront loop — the
     f32-tier instantiation of batch_loop (see its docstring)."""
+    fv = sampler == "wedge"
     nb = bands.num_bands
     edges = bands.edges
     majors = bands.max_opacities
@@ -645,29 +729,38 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
 
     def init(samp):
         return _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
-                           accum_id=lp.accum_id + samp)
+                           accum_id=lp.accum_id + samp,
+                           test_w=packed.test.shape[1])
 
     def refresh(s, c):
-        return _refresh(s, c, loc, packed, org, oo)
+        return _refresh(s, c, loc, packed, org, oo, flat_vert=fv)
 
     def shade(s, c):
-        return _shade(s, c, packed.rgb, lp, oo)
+        return _shade(s, c, packed.rgb, lp, oo, flat_vert=fv)
 
     def inner_phase(s, c):
         for _ in range(steps_per_refresh):   # unrolled; see render_fast
-            s = step_core(s, c, edges, majors, org, oo, ud, nb)
+            s = step_core(s, c, edges, majors, org, oo, ud, nb,
+                          flat_vert=fv)
         return s
 
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
                       samples, max_outer)
 
 
-def _shade(s: _State, c: _Consts, rgb_table, lp, oo):
+def _shade(s: _State, c: _Consts, rgb_table, lp, oo, flat_vert: bool = False):
     """Composite color of a finished lane (ref: deviceCode.cu:333-340):
     classified RGB of the accepted sample x ambient, binary alpha."""
     got = s.alpha > 0.0
     rgb_rows = rgb_table[jnp.where(got, s.c_cid, 0)]   # (L, 96) gather
-    rr, gg, bb = _rgb_at(rgb_rows, s.c_prof, _r_of(s.t, c.od, oo))
+    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
+    if flat_vert:
+        coord = ((ox + c.dx * s.t) * s.c_test[:, 16]
+                 + (oy + c.dy * s.t) * s.c_test[:, 17]
+                 + (oz + c.dz * s.t) * s.c_test[:, 18])
+    else:
+        coord = _r_of(s.t, c.od, oo)
+    rr, gg, bb = _rgb_at(rgb_rows, s.c_prof, coord)
     amb_r = lp.ambient_color[0] * lp.ambient_radiance
     amb_g = lp.ambient_color[1] * lp.ambient_radiance
     amb_b = lp.ambient_color[2] * lp.ambient_radiance
@@ -681,7 +774,7 @@ def _shade(s: _State, c: _Consts, rgb_table, lp, oo):
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
                                     "chunk", "n_active", "return_cost",
-                                    "samples"),
+                                    "samples", "sampler"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
@@ -689,7 +782,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       chunk: int = 4096, pixel_perm=None,
                       n_active: int | None = None,
                       return_cost: bool = False,
-                      samples: int = 1):
+                      samples: int = 1,
+                      sampler: str = "locator"):
     """Full-frame progressive step on the fast path (drop-in peer of
     render_frame_ae / render_frame_accel).
 
@@ -734,7 +828,7 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
         accum_head, fb_head = _run_batched_generic(
             lambda xs, ys, a0, f0: render_fast_batch(
                 cells, packed, loc, bands, lp, xs, ys, width, height,
-                a0, f0, samples, steps_per_refresh),
+                a0, f0, samples, steps_per_refresh, sampler=sampler),
             xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
         if n_proc == total:
             return accum_head, fb_head
@@ -744,7 +838,7 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     def run(xs, ys):
         return render_fast(cells, packed, loc, bands, lp, xs, ys,
                            width, height, steps_per_refresh,
-                           return_cost=return_cost)
+                           return_cost=return_cost, sampler=sampler)
 
     if n_proc <= chunk:
         out = run(xs_all, ys_all)
