@@ -222,15 +222,16 @@ def build(argv):
         return struct["packed_w"]
 
     def get_q():
-        """Quantized tier (--quantized): cells + CSR locator; TF edits
+        """Quantized tier (--quantized): cells + dense locator; TF edits
         re-bake only the u8 alpha channel (models/qcells.bake_alpha_q)."""
-        from icon_rt_tpu.models.locator import build_locator_csr
+        from icon_rt_tpu.models.locator import build_locator_csr, densify_csr
         from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
                                                quantize_dataset_values)
         if struct.get("q") is None:
             ds_q, lo, hi = quantize_dataset_values(ds)
             struct["q"] = quantize_cells(ds_q, value_range=(lo, hi))
-            struct["loc_csr"] = build_locator_csr(ds_q)
+            csr, k_cap = build_locator_csr(ds_q)
+            struct["loc_csr"] = (densify_csr(csr, k_cap), k_cap)
         if struct.get("q_tf") is not device["tf"]:
             struct["q"] = bake_alpha_q(struct["q"], device["tf"])
             struct["q_tf"] = device["tf"]

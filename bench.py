@@ -302,7 +302,8 @@ def main():
                                min(spp, spp_cap))
             print(f"# {name}: {RESULTS[name]}", file=sys.stderr, flush=True)
         except Exception as e:  # a failed row must not eat the others
-            failures.append(f"{name}: {type(e).__name__}: {e}")
+            msg = str(e).splitlines()[0][:200] if str(e) else ""
+            failures.append(f"{name}: {type(e).__name__}: {msg}")
             print(f"# {name} FAILED: {e}", file=sys.stderr, flush=True)
 
     _emit(note="; ".join(failures) if failures else "")

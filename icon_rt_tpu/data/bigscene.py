@@ -210,8 +210,13 @@ def to_device(sc: QuantScene):
     import jax.numpy as jnp
     from ..models.qcells import QuantizedCells
     from ..models.shells import RadialBands
+    # pad stored (N, 12) rows to (N, 16) at upload: 12-wide rows misalign
+    # the (8,128) TPU tile and gather ~5x slower (docs/ROUND2.md); the npz
+    # cache keeps the compact 12-wide form
+    t16 = np.zeros((sc.test12.shape[0], 16), np.float32)
+    t16[:, :12] = sc.test12[:, :12]
     q = QuantizedCells(
-        test12=jnp.asarray(sc.test12),
+        test12=jnp.asarray(t16),
         h_frac=jnp.asarray(sc.h_frac),
         value_q=jnp.asarray(sc.value_q),
         alpha_q=jnp.zeros(sc.value_q.shape, jnp.uint8),
@@ -226,8 +231,11 @@ def to_device(sc: QuantScene):
 
 
 def build_locator_csr_from_scene(sc: QuantScene, dims=None):
-    """CSR locator for a QuantScene (only corner lat/lon are needed)."""
-    from ..models.locator import build_locator_csr
+    """Dense locator for a QuantScene (only corner lat/lon are needed);
+    returns (Locator, k).  Built via the CSR binning pass then densified —
+    render-side CSR was reverted (1-D gathers are scalar loads on TPU,
+    models/locator.densify_csr)."""
+    from ..models.locator import build_locator_csr, densify_csr
 
     class _LatLon:
         pass
@@ -236,4 +244,5 @@ def build_locator_csr_from_scene(sc: QuantScene, dims=None):
     ds.lat = sc.lat
     ds.lon = sc.lon
     ds.num_cells = sc.num_cells
-    return build_locator_csr(ds, dims=dims)
+    csr, k_cap = build_locator_csr(ds, dims=dims)
+    return densify_csr(csr, k_cap), k_cap

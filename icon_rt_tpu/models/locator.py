@@ -159,6 +159,34 @@ def build_locator_csr(ds: ICDataset, dims: tuple[int, int] | None = None,
     return loc, k_cap
 
 
+def densify_csr(loc: LocatorCSR, k_cap: int) -> Locator:
+    """CSR -> dense (n_bins, k_cap) Locator.
+
+    Round-2 profiling (docs/ROUND2.md): the CSR candidate fetch is a 1-D
+    gather of L*k_cap single elements from `items`, which XLA:TPU lowers
+    to SCALAR loads (~39 ns/element measured) — it alone was ~half the
+    quantized tier's frame time.  A dense table turns the fetch into L
+    contiguous ROW gathers (~0.6 ns/element).  Memory cost is
+    n_bins * k_cap words (2.7 GB at R2B9 with the CSR's default dims and
+    the measured scale-invariant k_cap = 16) — the round-1 CSR memory
+    argument traded 7x render throughput for ~1.3 GB and is reversed."""
+    starts = np.asarray(loc.starts).astype(np.int64)
+    counts = np.asarray(loc.counts).astype(np.int64)
+    items = np.asarray(loc.items)
+    n_bins = starts.shape[0]
+    bins = np.full((n_bins, k_cap), -1, np.int32)
+    m = items.shape[0]
+    if m and counts.sum() > 0:
+        pos = np.repeat(starts, counts)
+        binid = np.repeat(np.arange(n_bins, dtype=np.int64), counts)
+        slot = np.arange(pos.shape[0], dtype=np.int64) - pos
+        ok = slot < k_cap
+        bins[binid[ok], slot[ok]] = items[:pos.shape[0]][ok]
+    return Locator(bins=jnp.asarray(bins),
+                   lat_lo=loc.lat_lo, lat_hi=loc.lat_hi,
+                   lon_lo=loc.lon_lo, lon_hi=loc.lon_hi, dims=loc.dims)
+
+
 def build_locator(ds: ICDataset, dims: tuple[int, int] | None = None,
                   pad: float = 1e-4, use_native: bool = True) -> Locator:
     """Bin cells by their (lat, lon) corner bounding boxes.

@@ -46,7 +46,7 @@ F = np.float32
 
 
 class QuantizedCells(NamedTuple):
-    test12: jnp.ndarray    # (N, 12) f32: n1 n2 n3 (9) + h_bot h_top nl
+    test12: jnp.ndarray    # (N, 16) f32: n1 n2 n3 (9) + h_bot h_top nl + pad
     h_frac: jnp.ndarray    # (N, Lm) u16
     value_q: jnp.ndarray   # (N, Lm) u8
     alpha_q: jnp.ndarray   # (N, Lm) u8
@@ -108,7 +108,9 @@ def quantize_cells(ds: ICDataset, lm: int | None = None,
     p2 = _np_plane(bv[:, 1], bv[:, 2], tv[:, 2])
     p3 = _np_plane(bv[:, 2], bv[:, 0], tv[:, 0])
 
-    test12 = np.empty((n, 12), F)
+    # stored 16 wide (last 4 pad): 12-wide rows misalign the (8,128) TPU
+    # tile and gather ~5x slower per element (docs/ROUND2.md)
+    test12 = np.zeros((n, 16), F)
     test12[:, 0:3] = p1[:, :3]
     test12[:, 3:6] = p2[:, :3]
     test12[:, 6:9] = p3[:, :3]

@@ -5,7 +5,9 @@ sampling; identical step_core, parameterized to the h|A|V profile-cache
 layout), different storage plane:
 
   * cells: models/qcells.QuantizedCells (48 B + 4*Lm B per cell vs 704 B)
-  * locator: models/locator.LocatorCSR (memory-proportional candidate lists)
+  * locator: a dense models/locator.Locator over the quantized scene
+    (a CSR variant was tried and reverted — its 1-D candidate gather
+    lowers to scalar loads on TPU; see docs/ROUND2.md)
   * refresh: gathers quantized rows and DEQUANTIZES into the same f32
     per-lane caches the step loop reads — the hot loop never sees u8/u16.
   * shading: the accepted sample's dequantized value is classified through
@@ -24,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.locator import LocatorCSR
+from ..models.locator import Locator
 from ..models.qcells import QuantizedCells
 from ..models.shells import RadialBands
 from ..models.transfunc import Transfunc, post_classify
@@ -44,11 +46,18 @@ def _expand_test16(t12):
          t12[:, 9:12], z], axis=1)
 
 
-def _refresh_q(s: _State, c: _Consts, loc: LocatorCSR, q: QuantizedCells,
+def _refresh_q(s: _State, c: _Consts, loc: Locator, q: QuantizedCells,
                k_cap: int, org, oo) -> _State:
-    """Batched CSR locator query + dequantizing cache fill for pending
-    lanes.  Gathers: starts/counts, k_cap candidate ids, k_cap test rows,
-    and the winner's h/alpha/value rows."""
+    """Batched dense-locator query + dequantizing cache fill for pending
+    lanes.  Gathers: one (L, K) candidate ROW gather, (L, K, 16) test
+    rows, and the winner's h/alpha/value rows.
+
+    Round-2 rework (docs/ROUND2.md): this was a CSR walk
+    (starts/counts gathers + a 1-D k_cap-per-lane items gather); XLA:TPU
+    lowers 1-D gathers to scalar loads (~39 ns/element measured), which
+    alone cost ~half the frame.  Dense candidate rows + 16-wide test rows
+    (12-wide rows misalign the (8,128) tile and fetch ~5x slower per
+    element) brought the tier from 0.32 to f32-parity Mray/s."""
     ox, oy, oz = org
     lm = q.lm
     n_lat = loc.dims[0]
@@ -65,15 +74,10 @@ def _refresh_q(s: _State, c: _Consts, loc: LocatorCSR, q: QuantizedCells,
     bo = jnp.clip(((lon - loc.lon_lo) / (loc.lon_hi - loc.lon_lo)
                    * n_lon.astype(F32)).astype(jnp.int32), 0, n_lon - 1)
     bid = jnp.where(pend, bl * n_lon + bo, 0)
-    start = loc.starts[bid]                          # (L,) gather
-    count = loc.counts[bid]                          # (L,) gather
-    m_items = loc.items.shape[0]
-    j = jax.lax.broadcasted_iota(jnp.int32, (bid.shape[0], k_cap), 1)
-    pos_idx = jnp.minimum(start[:, None] + j, m_items - 1)
-    cand = loc.items[pos_idx]                        # (L, K) gather
-    valid = j < count[:, None]
+    cand = loc.bins[bid]                             # (L, K) row gather
+    valid = cand >= 0
     safe = jnp.maximum(cand, 0)
-    trows = q.test12[safe]                           # (L, K, 12) gather
+    trows = q.test12[safe]                           # (L, K, 16) gather
     ev1 = (trows[..., 0] * px[:, None] + trows[..., 1] * py[:, None]
            + trows[..., 2] * pz[:, None])
     ev2 = (trows[..., 3] * px[:, None] + trows[..., 4] * py[:, None]
@@ -85,9 +89,10 @@ def _refresh_q(s: _State, c: _Consts, loc: LocatorCSR, q: QuantizedCells,
               & (ev1 <= 0.0) & (ev2 <= 0.0) & (ev3 <= 0.0))
     hit = jnp.any(inside, axis=1)
     slot = jnp.argmax(inside, axis=1)
-    k_oh = (jnp.arange(k_cap)[None, :] == slot[:, None])
+    k_oh = (jnp.arange(cand.shape[1])[None, :] == slot[:, None])
     cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
-    t12 = jnp.sum(jnp.where(k_oh[..., None], trows, 0.0), axis=1)  # (L, 12)
+    t12 = jnp.sum(jnp.where(k_oh[..., None], trows[..., :12], 0.0),
+                  axis=1)                            # (L, 12)
 
     cid2 = jnp.where(pend & hit, cid, 0)
     h_bot = t12[:, 9]
@@ -136,7 +141,7 @@ def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, oo, lm: int):
             jnp.where(got, 1.0, 0.0))
 
 
-def render_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
+def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                   bands: RadialBands, tf: Transfunc, lp, xs, ys,
                   width: int, height: int, steps_per_refresh: int = 8,
                   max_outer: int = 16384, return_cost: bool = False):
@@ -187,7 +192,7 @@ def render_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
     return wrote, color_alpha
 
 
-def render_fast_q_batch(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
+def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                         bands: RadialBands, tf: Transfunc, lp, xs, ys,
                         width: int, height: int, accum0, fb0, samples: int,
                         steps_per_refresh: int = 8, max_outer: int = 16384):
@@ -227,7 +232,7 @@ def render_fast_q_batch(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
                                     "chunk", "k_cap", "n_active",
                                     "return_cost", "samples"),
                    donate_argnames=("accum", "fb"))
-def render_frame_fast_q(q: QuantizedCells, loc: LocatorCSR, k_cap: int,
+def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                         bands: RadialBands, tf: Transfunc, lp, accum, fb, *,
                         width: int, height: int, steps_per_refresh: int = 8,
                         chunk: int = 4096, pixel_perm=None,

@@ -7,7 +7,7 @@ from icon_rt_tpu.data import synthetic
 from icon_rt_tpu.data.bigscene import (build_locator_csr_from_scene,
                                        synth_quantized, to_device)
 from icon_rt_tpu.models.cells import compute_stats
-from icon_rt_tpu.models.locator import build_locator_csr
+from icon_rt_tpu.models.locator import build_locator_csr, densify_csr
 from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
                                        quantize_dataset_values)
 from icon_rt_tpu.models.shells import build_radial_bands, update_band_majorants
@@ -32,7 +32,8 @@ def test_matches_exact_quantization():
     # geometry: f32 vs f64 subdivision -> tiny relative differences
     t_a = np.asarray(q_exact.test12)
     t_b = sc.test12
-    np.testing.assert_allclose(t_b[:, 9:], t_a[:, 9:], rtol=1e-6)
+    # q_exact.test12 is tile-padded to 16 wide; compare the 12 real columns
+    np.testing.assert_allclose(t_b[:, 9:12], t_a[:, 9:12], rtol=1e-6)
     # plane normals: compare normalized directions
     for k in range(3):
         na = t_a[:, 3 * k:3 * k + 3]
@@ -81,7 +82,8 @@ def test_end_to_end_render_matches_exact_tier():
     tf = make_transfunc(value_range=(float(q_exact.value_lo),
                                      float(q_exact.value_hi)), size=32)
     q_exact = bake_alpha_q(q_exact, tf)
-    loc_e, k_e = build_locator_csr(ds_q)
+    csr_e, k_e = build_locator_csr(ds_q)
+    loc_e = densify_csr(csr_e, k_e)
     bands_e = update_band_majorants(build_radial_bands(ds_q, 16),
                                     tf.values, tf.value_range)
 

@@ -13,6 +13,7 @@ import pytest
 from icon_rt_tpu.data import synthetic
 from icon_rt_tpu.models.cells import build_cells, compute_stats
 from icon_rt_tpu.models.locator import (build_locator, build_locator_csr,
+                                        densify_csr,
                                         sample_locator)
 from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
                                        quantize_dataset_values)
@@ -31,7 +32,8 @@ def scene():
     stats = compute_stats(ds_q)
     tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
     q = bake_alpha_q(quantize_cells(ds_q), tf)
-    loc_csr, k_cap = build_locator_csr(ds_q)
+    csr, k_cap = build_locator_csr(ds_q)
+    loc_csr = densify_csr(csr, k_cap)
     bands = update_band_majorants(build_radial_bands(ds_q, 16),
                                   tf.values, tf.value_range)
     return ds_q, stats, tf, q, loc_csr, k_cap, bands
