@@ -206,7 +206,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     sc = synth_quantized_cached(subdiv, num_layers)
     tf = make_transfunc(value_range=tuple(sc.stats.data_range))
     q, bands = to_device(sc)
-    q = bake_alpha_q(q, tf)
+    q = bake_alpha_q(q, tf, value_q_host=sc.value_q)
     bands = update_band_majorants(bands, tf.values, tf.value_range)
     loc, k_cap = build_locator_csr_from_scene(sc)
     stats = sc.stats
@@ -246,7 +246,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     # lookup over (N, Lm) + band majorants + one frame
     def tf_edit(scale):
         tf2 = tf._replace(opacity_scale=jnp.float32(scale))
-        q2 = bake_alpha_q(q, tf2)
+        q2 = bake_alpha_q(q, tf2, value_q_host=sc.value_q)
         bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
         a2, f2 = render_frame_fast_q(q2, loc, k_cap, bands2, tf2,
                                      lp._replace(accum_id=jnp.int32(0)),

@@ -212,14 +212,20 @@ def to_device(sc: QuantScene):
     from ..models.shells import RadialBands
     # pad stored (N, 12) rows to (N, 16) at upload: 12-wide rows misalign
     # the (8,128) TPU tile and gather ~5x slower (docs/ROUND2.md); the npz
-    # cache keeps the compact 12-wide form
+    # cache keeps the compact 12-wide form.  All tables upload with the
+    # transposed (unpadded) layout — row-major (N, 16) sub-word tables
+    # pad 8x in HBM (utils/layout.py)
+    from ..utils.layout import put_table
     t16 = np.zeros((sc.test12.shape[0], 16), np.float32)
     t16[:, :12] = sc.test12[:, :12]
+    hf = sc.h_frac
+    if hf.shape[0] and bool((hf == hf[0]).all()):
+        hf = hf[:1]   # uniform layer spacing: one shared row
     q = QuantizedCells(
-        test12=jnp.asarray(t16),
-        h_frac=jnp.asarray(sc.h_frac),
-        value_q=jnp.asarray(sc.value_q),
-        alpha_q=jnp.zeros(sc.value_q.shape, jnp.uint8),
+        test12=put_table(t16),
+        h_frac=put_table(np.ascontiguousarray(hf)),
+        value_q=put_table(sc.value_q),
+        alpha_q=put_table(np.zeros(sc.value_q.shape, np.uint8)),
         value_lo=jnp.float32(sc.value_lo), value_hi=jnp.float32(sc.value_hi),
         alpha_max=jnp.float32(1.0),
     )

@@ -182,7 +182,8 @@ def densify_csr(loc: LocatorCSR, k_cap: int) -> Locator:
         slot = np.arange(pos.shape[0], dtype=np.int64) - pos
         ok = slot < k_cap
         bins[binid[ok], slot[ok]] = items[:pos.shape[0]][ok]
-    return Locator(bins=jnp.asarray(bins),
+    from ..utils.layout import put_table
+    return Locator(bins=put_table(bins),
                    lat_lo=loc.lat_lo, lat_hi=loc.lat_hi,
                    lon_lo=loc.lon_lo, lon_hi=loc.lon_hi, dims=loc.dims)
 

@@ -47,7 +47,9 @@ F = np.float32
 
 class QuantizedCells(NamedTuple):
     test12: jnp.ndarray    # (N, 16) f32: n1 n2 n3 (9) + h_bot h_top nl + pad
-    h_frac: jnp.ndarray    # (N, Lm) u16
+    h_frac: jnp.ndarray    # (N, Lm) u16; (1, Lm) when all columns share
+                           # the layer spacing (synthetic/uniform grids —
+                           # saves 2.7 GB at R2B9; consumers clamp-index)
     value_q: jnp.ndarray   # (N, Lm) u8
     alpha_q: jnp.ndarray   # (N, Lm) u8
     value_lo: jnp.ndarray  # () f32
@@ -135,11 +137,14 @@ def quantize_cells(ds: ICDataset, lm: int | None = None,
                          * (np.float32(255.0) / np.float32(hi - lo))),
                  0, 255).astype(np.uint8)
 
+    from ..utils.layout import put_table
+    if n and bool((hf == hf[0]).all()):
+        hf = hf[:1]   # uniform layer spacing: one shared row
     return QuantizedCells(
-        test12=jnp.asarray(test12),
-        h_frac=jnp.asarray(hf),
-        value_q=jnp.asarray(vq),
-        alpha_q=jnp.zeros((n, lm), jnp.uint8),
+        test12=put_table(test12),
+        h_frac=put_table(hf),
+        value_q=put_table(vq),
+        alpha_q=put_table(np.zeros((n, lm), np.uint8)),
         value_lo=jnp.float32(lo), value_hi=jnp.float32(hi),
         alpha_max=jnp.float32(1.0),
     )
@@ -162,26 +167,72 @@ def _classify_alpha_table(tf: Transfunc, value_lo, value_hi) -> jnp.ndarray:
         * tf.opacity_scale.astype(jnp.float32)
 
 
-@jax.jit
-def bake_alpha_q(q: QuantizedCells, tf: Transfunc) -> QuantizedCells:
+def bake_alpha_q(q: QuantizedCells, tf: Transfunc,
+                 value_q_host=None) -> QuantizedCells:
     """TF-edit hook of the quantized tier (analog of the f32 path's full
     profile re-bake, ref: hostCode.cu:878-909): one 256-entry table bake +
     a u8 table lookup over (N, Lm).  Floor quantization keeps every stored
-    alpha <= the true alpha, preserving majorant conservativeness."""
+    alpha <= the true alpha, preserving majorant conservativeness.
+
+    Deliberately NOT jitted as a whole: the lookup dispatches between a
+    layout-preserving device path and a host path for R2B9-scale tables
+    (see below)."""
     a_tab = _classify_alpha_table(tf, q.value_lo, q.value_hi)
     a_max = jnp.maximum(jnp.max(a_tab), jnp.float32(1e-8))
     q_tab = jnp.floor(a_tab / a_max * 255.0).astype(jnp.uint8)
-    # the lookup runs FLAT and in bounded slices: a (N, 16) s32 index
-    # intermediate tiles to (8, 128) lanes on TPU — an 8x pad that is
-    # 43 GB at R2B9 (the r2b9q bench row OOMed at compile on exactly
-    # this); flat slices keep the temp at ~256 MB
-    n, lm = q.value_q.shape
-    flat = q.value_q.reshape(-1)
-    ch = min(1 << 26, flat.shape[0]) or 1
-    pad = (-flat.shape[0]) % ch
-    if pad:
-        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
-    out = jax.lax.map(lambda c: q_tab[c.astype(jnp.int32)],
-                      flat.reshape(-1, ch))
-    alpha_q = out.reshape(-1)[:n * lm].reshape(n, lm)
+    # the lookup preserves value_q's committed (transposed, unpadded)
+    # layout on the output: a row-major (N, 16) u8/s32 array tiles to
+    # (8,128)/(32,128) lanes on TPU — an 8x pad that is 10-43 GB at R2B9
+    # and OOMed the r2b9q bench (utils/layout.py, docs/ROUND2.md)
+    if q.value_q.size > (1 << 27):
+        # R2B9-scale: the device bake's compile gets OOM-killed on the
+        # remote compile host; a host-side fancy-index over the u8 table
+        # plus an unpadded re-upload works and TF edits at 84M cells are
+        # not interactive anyway (recorded in the bench).  Pass
+        # value_q_host (e.g. the QuantScene's array) to skip the slow
+        # D2H pull of the transposed device table.
+        from ..utils.layout import put_table
+        vq = value_q_host if value_q_host is not None \
+            else np.asarray(q.value_q)
+        alpha_np = np.asarray(q_tab)[vq]
+        alpha_q = put_table(alpha_np)
+    else:
+        alpha_q = _bake_lookup(q.value_q, q_tab)
     return q._replace(alpha_q=alpha_q, alpha_max=a_max)
+
+
+_BAKE_CACHE: dict = {}
+
+
+def _bake_lookup(vq, tab):
+    """tab[vq] elementwise, jitted with the output committed to vq's
+    format (keeps big tables in the unpadded transposed layout).
+
+    The lookup walks vq in its PHYSICAL ({0,1}) order — transpose,
+    flatten, gather in bounded flat slices, transpose back.  A naive
+    tab[vq.astype(i32)] makes XLA relayout the (N, 16) s32 index
+    intermediate to padded row-major (43 GB at R2B9 — the exact compile
+    OOM this replaces); the flat slices bound the s32 temp at ~256 MB."""
+    def body(v, t):
+        n, lm = v.shape
+        vt = v.T.reshape(-1)
+        ch = min(1 << 26, int(vt.shape[0])) or 1
+        pad = (-int(vt.shape[0])) % ch
+        if pad:
+            vt = jnp.concatenate([vt, jnp.zeros(pad, v.dtype)])
+        out = jax.lax.map(lambda c: t[c.astype(jnp.int32)],
+                          vt.reshape(-1, ch))
+        return out.reshape(-1)[:n * lm].reshape(lm, n).T
+
+    key = getattr(vq, "format", None)
+    fn = _BAKE_CACHE.get(key)
+    if fn is None:
+        kw = {}
+        if key is not None:
+            try:
+                kw = {"out_shardings": key}
+            except Exception:
+                kw = {}
+        fn = jax.jit(body, **kw)
+        _BAKE_CACHE[key] = fn
+    return fn(vq, tab)

@@ -98,7 +98,8 @@ def _refresh_q(s: _State, c: _Consts, loc: Locator, q: QuantizedCells,
     h_bot = t12[:, 9]
     h_top = t12[:, 10]
     nl = t12[:, 11].astype(jnp.int32)
-    hf = q.h_frac[cid2].astype(F32)                  # (L, Lm) gather
+    # clamp-index: h_frac may be the deduplicated (1, Lm) shared row
+    hf = q.h_frac[jnp.minimum(cid2, q.h_frac.shape[0] - 1)].astype(F32)
     heights = h_bot[:, None] + hf * ((h_top - h_bot)[:, None]
                                      * jnp.float32(1.0 / 65535.0))
     k1 = jax.lax.broadcasted_iota(jnp.int32, heights.shape, 1) + 1

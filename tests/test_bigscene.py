@@ -42,7 +42,10 @@ def test_matches_exact_quantization():
         nb = nb / np.linalg.norm(nb, axis=1, keepdims=True)
         assert np.abs(na - nb).max() < 1e-4
     # heights: uniform spacing rows must be identical
-    np.testing.assert_array_equal(sc.h_frac, np.asarray(q_exact.h_frac))
+    # q_exact.h_frac may be the deduplicated (1, Lm) shared row
+    np.testing.assert_array_equal(
+        sc.h_frac, np.broadcast_to(np.asarray(q_exact.h_frac),
+                                   sc.h_frac.shape))
     # values: within one quantization level (f32 field eval differences)
     dv = np.abs(sc.value_q.astype(int)
                 - np.asarray(q_exact.value_q).astype(int))
