@@ -208,7 +208,8 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     q, bands = to_device(sc)
     q = bake_alpha_q(q, tf, value_q_host=sc.value_q)
     bands = update_band_majorants(bands, tf.values, tf.value_range)
-    loc, k_cap = build_locator_csr_from_scene(sc)
+    loc, k_cap = build_locator_csr_from_scene(
+        sc, cache_key=f"s{subdiv}_l{num_layers}")
     stats = sc.stats
     cam = _camera(stats, framing)
     unit_distance = 10.0 ** (np.floor(

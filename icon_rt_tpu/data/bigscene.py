@@ -236,12 +236,30 @@ def to_device(sc: QuantScene):
     return q, bands
 
 
-def build_locator_csr_from_scene(sc: QuantScene, dims=None):
+def build_locator_csr_from_scene(sc: QuantScene, dims=None,
+                                 cache_key: str | None = None):
     """Dense locator for a QuantScene (only corner lat/lon are needed);
     returns (Locator, k).  Built via the CSR binning pass then densified —
     render-side CSR was reverted (1-D gathers are scalar loads on TPU,
-    models/locator.densify_csr)."""
-    from ..models.locator import build_locator_csr, densify_csr
+    models/locator.densify_csr).
+
+    cache_key: npz-caches the dense bins under the scene cache dir (the
+    R2B9 binning pass is ~10 min of host work per bench run)."""
+    import jax.numpy as jnp
+    from ..models.locator import Locator, build_locator_csr, densify_csr
+    from ..utils.layout import put_table
+
+    path = (os.path.join(_CACHE_DIR, f"qloc_{cache_key}.npz")
+            if cache_key and dims is None else None)
+    if path and os.path.exists(path):
+        z = np.load(path)
+        loc = Locator(bins=put_table(z["bins"]),
+                      lat_lo=jnp.float32(z["lat_lo"]),
+                      lat_hi=jnp.float32(z["lat_hi"]),
+                      lon_lo=jnp.float32(z["lon_lo"]),
+                      lon_hi=jnp.float32(z["lon_hi"]),
+                      dims=jnp.asarray(z["dims"]))
+        return loc, int(z["k_cap"])
 
     class _LatLon:
         pass
@@ -251,4 +269,14 @@ def build_locator_csr_from_scene(sc: QuantScene, dims=None):
     ds.lon = sc.lon
     ds.num_cells = sc.num_cells
     csr, k_cap = build_locator_csr(ds, dims=dims)
-    return densify_csr(csr, k_cap), k_cap
+    loc = densify_csr(csr, k_cap)
+    if path:
+        try:
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            np.savez(path, bins=np.asarray(loc.bins), k_cap=k_cap,
+                     lat_lo=float(loc.lat_lo), lat_hi=float(loc.lat_hi),
+                     lon_lo=float(loc.lon_lo), lon_hi=float(loc.lon_hi),
+                     dims=np.asarray(loc.dims))
+        except OSError:
+            pass
+    return loc, k_cap
