@@ -277,11 +277,11 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
 # spp caps keep ONE device execution well under the ~60 s axon-worker
 # crash threshold (README gotchas) at each scale
 ALL_ROWS = [
-    ("r2b4_closeup", 5, 16, 4, "closeup", "f32", 32),   # 20,480 cells
-    ("r2b4_viewall", 5, 16, 4, "viewall", "f32", 32),   # ref-default framing
-    ("r2b7_closeup", 7, 16, 2, "closeup", "f32", 16),   # 327,680 cells
-    ("r2b8_closeup", 8, 16, 2, "closeup", "f32", 8),    # 1,310,720 cells
-    ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 8),     # quantized overhead
+    ("r2b4_closeup", 5, 16, 2, "closeup", "f32", 64),   # 20,480 cells
+    ("r2b4_viewall", 5, 16, 2, "viewall", "f32", 64),   # ref-default framing
+    ("r2b7_closeup", 7, 16, 2, "closeup", "f32", 32),   # 327,680 cells
+    ("r2b8_closeup", 8, 16, 2, "closeup", "f32", 16),   # 1,310,720 cells
+    ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 16),    # quantized overhead
     ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 4),    # 83,886,080 cells
 ]
 HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b9q_closeup")
@@ -289,9 +289,9 @@ HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b9q_closeup")
 
 def main():
     _install_watchdog()
-    chunk = int(os.environ.get("BENCH_CHUNK", "4096"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "8192"))
     spr = int(os.environ.get("BENCH_SPR", "8"))
-    spp = int(os.environ.get("BENCH_SAMPLES", "32"))
+    spp = int(os.environ.get("BENCH_SAMPLES", "64"))
     only = os.environ.get("BENCH_ROWS")  # comma-separated row names
     rows = [r for r in ALL_ROWS if only is None or r[0] in only.split(",")]
 
