@@ -312,7 +312,8 @@ def serve(pl, port: int = 8890, host: str = "127.0.0.1",
                     pl.present()
                 finally:
                     pl.write_frame = orig_write
-                img = fb_to_image(buf.get("fb", fb), pl.width, pl.height)
+                img = fb_to_image(buf.get("fb", fb), pl.width, pl.height,
+                                  bgcolor=pl.bgcolor)
                 png = encode_png(img, level=1)
                 now = time.perf_counter()
                 with st.cond:

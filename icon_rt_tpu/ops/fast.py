@@ -890,136 +890,3 @@ def _run_batched_generic(batch_fn, xs_all, ys_all, accum_head, fb_head,
         (xs_all.reshape(n, chunk), ys_all.reshape(n, chunk),
          accum_head.reshape(n, chunk, 4), fb_head.reshape(n, chunk)))
     return a.reshape(-1, 4)[:n_proc], f.reshape(-1)[:n_proc]
-
-
-# ===========================================================================
-# Persistent ray-queue renderer: ONE wavefront of `lanes` rays for the whole
-# frame; a retired lane scatters its result by pixel id and immediately
-# reloads the next pixel from the cost-sorted queue.  This removes the
-# chunk-level lockstep (a chunk runs as long as its slowest ray) that
-# dominated round-1 losses.
-#
-# Refills happen only at outer-iteration boundaries, so a given pixel sees
-# exactly the same refresh/step cadence (and therefore the same RNG draw
-# sequence) as in the chunked renderer -- outputs are BIT-IDENTICAL to
-# render_frame_fast (asserted in tests/test_fast_queue.py).
-# ===========================================================================
-
-class _QCarry(NamedTuple):
-    s: _State
-    c: _Consts
-    pix: jnp.ndarray     # (L,) i32 pixel id held by each lane; -1 = empty
-    w: jnp.ndarray       # (L,) i32 lane's wrote flag (hit the outer shell)
-    head: jnp.ndarray    # () i32 next queue position to hand out
-    out_ca: jnp.ndarray  # (T+1, 4) f32 scatter target (row T = trash)
-    out_w: jnp.ndarray   # (T+1,) bool
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("width", "height", "steps_per_refresh",
-                                    "lanes", "n_active", "max_outer"),
-                   donate_argnames=("accum", "fb"))
-def render_frame_fast_queue(cells: Cells, packed: PackedCells, loc: Locator,
-                            bands: RadialBands, lp, accum, fb, *,
-                            width: int, height: int,
-                            steps_per_refresh: int = 8, lanes: int = 16384,
-                            pixel_perm=None, n_active: int | None = None,
-                            max_outer: int = 1 << 30):
-    """Full-frame progressive step, persistent-queue scheduling.
-
-    Unlike render_frame_fast, accum/fb are in NATURAL pixel order (results
-    are scattered by pixel id on lane retirement) -- no unpermute needed at
-    present time.  pixel_perm orders the queue (cost-sorted); n_active
-    limits it to the covered prefix (the tail's rays can never write,
-    ref: deviceCode.cu:294 early return).
-    """
-    from .render import _finalize  # local import to avoid cycle
-
-    total = width * height
-    queue = jnp.arange(total, dtype=jnp.int32) if pixel_perm is None \
-        else pixel_perm
-    n_queue = total if n_active is None else min(max(n_active, 0), total)
-    if n_queue == 0:   # nothing covered: no ray can write
-        return accum, fb
-    # costliest first: stragglers start earliest (classic LPT scheduling)
-    queue = queue[:n_queue][::-1]
-    L = min(lanes, max(n_queue, 1))
-
-    nb = bands.num_bands
-    edges = bands.edges
-    majors = bands.max_opacities
-    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
-    oo = ox * ox + oy * oy + oz * oz
-    org = (ox, oy, oz)
-    ud = lp.unit_distance
-
-    def init_lanes(pix):
-        """(state, consts, wrote) for pixel ids; empty (-1) lanes are done."""
-        safe = jnp.maximum(pix, 0)
-        ys, xs = jnp.divmod(safe, width)
-        s, c, w = _init_lanes(lp, xs, ys, width, height, edges, majors,
-                              oo, nb)
-        empty = pix < 0
-        s = s._replace(done=jnp.where(empty, 1, s.done))
-        return s, c, w & ~empty
-
-    def retire_refill(q: _QCarry) -> _QCarry:
-        ret = q.s.done != 0
-        real = q.pix >= 0
-        # scatter finished results by pixel id (trash row T for the rest)
-        ca = jnp.stack(_shade(q.s, q.c, packed.rgb, lp, oo), axis=-1)
-        idx = jnp.where(ret & real, q.pix, total)
-        out_ca = q.out_ca.at[idx].set(ca, mode="drop")
-        out_w = q.out_w.at[idx].set(q.w != 0, mode="drop")
-        # pop replacement pixels for retiring lanes
-        rank = jnp.cumsum(ret.astype(jnp.int32)) - 1      # 0-based among ret
-        pos = q.head + rank
-        can = ret & (pos < n_queue)
-        pix_new = queue[jnp.clip(pos, 0, n_queue - 1)]
-        pix2 = jnp.where(can, pix_new, jnp.where(ret, -1, q.pix))
-        head2 = jnp.minimum(q.head + jnp.sum(ret.astype(jnp.int32)),
-                            jnp.int32(n_queue))
-        s_new, c_new, w_new = init_lanes(pix2)
-        merge = lambda a, b: jnp.where(
-            can[(...,) + (None,) * (a.ndim - 1)] if a.ndim > 1
-            else can, a, b)
-        s2 = _State(*(merge(a, b) for a, b in zip(s_new, q.s)))
-        c2 = _Consts(*(merge(a, b) for a, b in zip(c_new, q.c)))
-        w2 = jnp.where(can, w_new.astype(jnp.int32), q.w)
-        return _QCarry(s=s2, c=c2, pix=pix2, w=w2, head=head2,
-                       out_ca=out_ca, out_w=out_w)
-
-    def inner_phase(q: _QCarry) -> _QCarry:
-        s = jax.lax.cond(jnp.any(q.s.pending != 0),
-                         lambda s: _refresh(s, q.c, loc, packed, org, oo),
-                         lambda s: s, q.s)
-        for _ in range(steps_per_refresh):   # unrolled; see render_fast
-            s = step_core(s, q.c, edges, majors, org, oo, ud, nb)
-        return q._replace(s=s)
-
-    def cond(carry):
-        q, it = carry
-        return ((q.head < n_queue) | jnp.any((q.s.done == 0)
-                                             & (q.pix >= 0))) \
-            & (it < max_outer)
-
-    def body(carry):
-        q, it = carry
-        q = retire_refill(q)
-        q = inner_phase(q)
-        return q, it + 1
-
-    pix0 = jnp.where(jnp.arange(L) < n_queue,
-                     queue[jnp.clip(jnp.arange(L), 0, max(n_queue - 1, 0))],
-                     -1).astype(jnp.int32)
-    s0, c0, w0 = init_lanes(pix0)
-    q0 = _QCarry(s=s0, c=c0, pix=pix0, w=w0.astype(jnp.int32),
-                 head=jnp.int32(min(L, n_queue)),
-                 out_ca=jnp.zeros((total + 1, 4), F32),
-                 out_w=jnp.zeros(total + 1, bool))
-    q, _ = jax.lax.while_loop(cond, body, (q0, jnp.int32(0)))
-    q = retire_refill(q)   # final scatter (loop exits with results in-lane)
-
-    wrote = q.out_w[:total]
-    ca = q.out_ca[:total]
-    return _finalize(wrote, ca, accum, fb, lp.accum_id)

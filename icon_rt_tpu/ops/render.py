@@ -259,6 +259,22 @@ def alloc_frame(width: int, height: int):
             jnp.zeros((width * height,), jnp.uint32))
 
 
-def fb_to_image(fb, width: int, height: int) -> np.ndarray:
-    """Packed uint32 framebuffer -> (H, W, 4) uint8, bottom-up row order."""
-    return colorlib.unpack_rgba(np.asarray(fb).reshape(height, width))
+def fb_to_image(fb, width: int, height: int, bgcolor=None) -> np.ndarray:
+    """Packed uint32 framebuffer -> (H, W, 4) uint8, bottom-up row order.
+
+    bgcolor: optional (3,) linear RGB in [0,1].  The reference presents the
+    framebuffer over a window cleared to --bgcolor
+    (ref: common/pipeline.cu:721,760); pass it here to alpha-composite the
+    rendered image over that clear color (our fb alpha is the reference's
+    binary hit alpha, so this fills exactly the never-hit pixels)."""
+    img = colorlib.unpack_rgba(np.asarray(fb).reshape(height, width))
+    if bgcolor is not None:
+        b = np.asarray(bgcolor, np.float32)
+        bg_srgb = np.where(b <= 0.0031308, 12.92 * b,
+                           1.055 * np.power(b, 1.0 / 2.4) - 0.055)
+        bg = np.clip(bg_srgb * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        a = img[..., 3:4].astype(np.float32) / 255.0
+        rgb = img[..., :3].astype(np.float32) * a + bg * (1.0 - a)
+        img = np.concatenate([(rgb + 0.5).astype(np.uint8),
+                              np.full_like(img[..., 3:4], 255)], axis=-1)
+    return img

@@ -278,9 +278,11 @@ class Pipeline:
         self.write_frame(fb)
 
     def write_frame(self, fb: np.ndarray):
-        """Batch-mode output: PNG + FPS (ref: pipeline.cu:733-740)."""
+        """Batch-mode output: PNG + FPS (ref: pipeline.cu:733-740).
+        Never-hit pixels show --bgcolor, like the reference's cleared
+        presentation canvas (ref: pipeline.cu:721,760)."""
         from ..ops.render import fb_to_image
-        img = fb_to_image(fb, self.width, self.height)
+        img = fb_to_image(fb, self.width, self.height, bgcolor=self.bgcolor)
         out = f"{self.name}.png"
         write_png(out, img)
         print(f"Output: {out}")

@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Round-3 profiling harness: where does the r2b9q frame go?
+
+VERDICT round 2 item 1: profile one r2b9q outer iteration end-to-end
+before touching anything.  This script decomposes the quantized-tier
+render into its three structural costs and prints one line per probe:
+
+  * refresh   — the batched locator query + dequantizing cache fill
+                (_refresh_q) with ALL lanes pending (worst case) and with
+                the measured pending fraction
+  * steps     — the gather-free inner phase (spr unrolled step_core)
+  * outer     — one full outer iteration (cond + service + steps)
+  * loop      — the full while_loop for one chunk of real rays
+  * stats     — per-ray outer iterations / refresh events / steps, from an
+                instrumented copy of the loop (counters only; same math)
+  * gather    — raw row-gather cost at THIS scene's table sizes
+                (tests the 20 ns/row rule of thumb at 8 GB tables)
+
+Scale is selectable (--subdiv) so R2B4-vs-R2B9 cost scaling is measurable
+on the same code path.  Timings materialize outputs to the host
+(np.asarray) per the README gotcha: a crashed TPU worker otherwise
+returns instantly.
+
+Usage:  python scripts/prof_fastq.py --subdiv 11 [--chunk 8192] [--spr 8]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from icon_rt_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+WIDTH, HEIGHT = 1920, 1080
+
+
+def timeit(fn, *args, iters=10, warmup=2, **kw):
+    for _ in range(warmup):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kw)
+    # materialize to host: block_until_ready is silent on a wedged worker
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdiv", type=int, default=11)
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--spr", type=int, default=8)
+    ap.add_argument("--probes", default="gather,refresh,steps,outer,loop,stats")
+    args = ap.parse_args()
+    L = args.chunk
+    probes = args.probes.split(",")
+
+    from icon_rt_tpu.data.bigscene import (build_locator_csr_from_scene,
+                                           synth_quantized_cached, to_device)
+    from icon_rt_tpu.models.qcells import bake_alpha_q
+    from icon_rt_tpu.models.shells import update_band_majorants
+    from icon_rt_tpu.models.transfunc import make_transfunc
+    from icon_rt_tpu.ops.camera import Camera
+    from icon_rt_tpu.ops.fast import _init_lanes, step_core
+    from icon_rt_tpu.ops.fastq import _refresh_q
+    from icon_rt_tpu.ops.order import pixel_order
+    from icon_rt_tpu.ops.render import make_launch_params
+
+    sc = synth_quantized_cached(args.subdiv, args.layers)
+    tf = make_transfunc(value_range=tuple(sc.stats.data_range))
+    q, bands = to_device(sc)
+    q = bake_alpha_q(q, tf, value_q_host=sc.value_q)
+    bands = update_band_majorants(bands, tf.values, tf.value_range)
+    loc, k_cap = build_locator_csr_from_scene(
+        sc, cache_key=f"s{args.subdiv}_l{args.layers}")
+    stats = sc.stats
+    print(f"# scene: {sc.num_cells} cells, lm={q.lm}, k_cap={k_cap}, "
+          f"bins={np.prod(np.asarray(loc.dims))} "
+          f"({'x'.join(str(int(d)) for d in np.asarray(loc.dims))})",
+          flush=True)
+
+    cam = Camera()
+    cam.set_aspect(WIDTH / HEIGHT)
+    center = 0.5 * (stats.world_bounds_lo + stats.world_bounds_hi)
+    r_out = float(stats.spherical_bounds_hi[0])
+    theta = np.arctan(1.15 * np.tan(0.5 * cam.fovy))
+    d = r_out / np.sin(theta)
+    direction = np.array([2.2, 0.4, 0.9], np.float32)
+    direction /= np.linalg.norm(direction)
+    cam.set_orientation(center + direction * d, center,
+                        np.array([0, 0, 1], np.float32), cam.fovy)
+    unit_distance = 10.0 ** (np.floor(
+        np.log10(stats.spherical_bounds_lo[0])) - 3)
+    lp = make_launch_params(cam.basis(WIDTH, HEIGHT), stats.world_bounds_lo,
+                            stats.world_bounds_hi,
+                            unit_distance=unit_distance)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], WIDTH, HEIGHT)
+
+    nb = bands.num_bands
+    edges = bands.edges
+    majors = bands.max_opacities
+    lm = q.lm
+    ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
+    oo = ox * ox + oy * oy + oz * oz
+    org = (ox, oy, oz)
+    ud = lp.unit_distance
+
+    # lanes = a middle slice of the cost-sorted covered prefix (real rays)
+    pix = jnp.asarray(perm[n_active // 4: n_active // 4 + L])
+    ys, xs = jnp.divmod(pix, WIDTH)
+
+    def init():
+        return _init_lanes(lp, xs, ys, WIDTH, HEIGHT, edges, majors, oo, nb,
+                           prof_w=3 * lm)
+
+    s0, consts, wrote = init()
+
+    if "gather" in probes:
+        # raw row-gather cost at this scene's table sizes
+        key = jax.random.PRNGKey(0)
+        idx = jax.random.randint(key, (L,), 0, q.num_cells)
+        idx2 = jax.random.randint(key, (L, k_cap), 0, q.num_cells)
+        bid = jax.random.randint(key, (L,), 0, int(np.prod(np.asarray(loc.dims))))
+
+        t = timeit(jax.jit(lambda i: q.test12[i]), idx)
+        print(f"gather  test12 (L,16) rows:        {t*1e6:9.1f} us "
+              f"({t/L*1e9:6.1f} ns/row)", flush=True)
+        t = timeit(jax.jit(lambda i: loc.bins[i]), bid)
+        print(f"gather  bins (L,{k_cap}) rows:          {t*1e6:9.1f} us "
+              f"({t/L*1e9:6.1f} ns/row)", flush=True)
+        t = timeit(jax.jit(lambda i: q.test12[i]), idx2)
+        print(f"gather  test12 (L,{k_cap},16) rows:     {t*1e6:9.1f} us "
+              f"({t/(L*k_cap)*1e9:6.1f} ns/row)", flush=True)
+        t = timeit(jax.jit(lambda i: (q.alpha_q[i], q.value_q[i])), idx)
+        print(f"gather  alpha+value u8 (L,{lm}) rows: {t*1e6:9.1f} us "
+              f"({t/(2*L)*1e9:6.1f} ns/row)", flush=True)
+
+    refresh_j = jax.jit(lambda s: _refresh_q(s, consts, loc, q, k_cap,
+                                             org, oo))
+
+    if "refresh" in probes:
+        s_pend = s0._replace(pending=jnp.ones(L, jnp.int32))
+        t = timeit(refresh_j, s_pend)
+        print(f"refresh all-pending:               {t*1e6:9.1f} us "
+              f"({t/L*1e9:6.1f} ns/lane)", flush=True)
+
+    def inner(s):
+        for _ in range(args.spr):
+            s = step_core(s, consts, edges, majors, org, oo, ud, nb,
+                          ml=lm, a_off=lm)
+        return s
+
+    inner_j = jax.jit(inner)
+    if "steps" in probes:
+        t = timeit(inner_j, s0)
+        print(f"steps x{args.spr} (no refresh):          {t*1e6:9.1f} us "
+              f"({t/(L*args.spr)*1e9:6.1f} ns/lane-step)", flush=True)
+
+    def outer_iter(s):
+        s = jax.lax.cond(jnp.any(s.pending != 0),
+                         lambda x: _refresh_q(x, consts, loc, q, k_cap,
+                                              org, oo),
+                         lambda x: x, s)
+        return inner(s)
+
+    outer_j = jax.jit(outer_iter)
+    if "outer" in probes:
+        t = timeit(outer_j, s0)
+        print(f"outer iteration (cond+svc+steps):  {t*1e6:9.1f} us",
+              flush=True)
+
+    if "loop" in probes:
+        def loop(s):
+            def cond(c):
+                s, it = c
+                return jnp.any(s.done == 0) & (it < 16384)
+
+            def body(c):
+                s, it = c
+                s = jax.lax.cond(jnp.any(s.pending != 0),
+                                 lambda x: _refresh_q(x, consts, loc, q,
+                                                      k_cap, org, oo),
+                                 lambda x: x, s)
+                return inner(s), it + 1
+
+            s, it = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+            return s.alpha, it
+
+        t = timeit(jax.jit(loop), s0, iters=4)
+        _, it = jax.jit(loop)(s0)
+        print(f"full chunk loop (1 sample/lane):   {t*1e6:9.1f} us, "
+              f"{int(it)} outer iterations "
+              f"({t/max(int(it),1)*1e6:6.1f} us/iter)", flush=True)
+
+    if "stats" in probes:
+        # instrumented loop: same math, plus counters
+        def loop_stats(s):
+            def cond(c):
+                s, it, pend_ev, steps_ev, refr = c
+                return jnp.any(s.done == 0) & (it < 16384)
+
+            def body(c):
+                s, it, pend_ev, steps_ev, refr = c
+                any_p = jnp.any(s.pending != 0)
+                refr = refr + any_p.astype(jnp.int32)
+                pend_ev = pend_ev + jnp.sum(s.pending)
+                s = jax.lax.cond(any_p,
+                                 lambda x: _refresh_q(x, consts, loc, q,
+                                                      k_cap, org, oo),
+                                 lambda x: x, s)
+                live0 = jnp.sum((s.done == 0).astype(jnp.int32))
+                s = inner(s)
+                steps_ev = steps_ev + live0
+                return s, it + 1, pend_ev, steps_ev, refr
+
+            z = jnp.int32(0)
+            s, it, pend_ev, steps_ev, refr = jax.lax.while_loop(
+                cond, body, (s, z, z, z, z))
+            return it, pend_ev, steps_ev, refr
+
+        it, pend_ev, steps_ev, refr = jax.jit(loop_stats)(s0)
+        n_live = int(jnp.sum((s0.done == 0).astype(jnp.int32)))
+        print(f"stats: lanes={L} live0={n_live} outer_iters={int(it)} "
+              f"refresh_iters={int(refr)} "
+              f"pend_events/ray={int(pend_ev)/max(n_live,1):.2f} "
+              f"live_lane_iters/ray={int(steps_ev)/max(n_live,1):.2f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

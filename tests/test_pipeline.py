@@ -172,3 +172,38 @@ def test_pipeline_multiple_transfuncs():
     assert pl.transfuncs[0].opacity == 1.0
     assert pl.frame_id == 0  # edit reset accumulation
     assert updates[-1] == 1
+
+
+def test_bgcolor_composite(tmp_path):
+    """--bgcolor fills never-hit pixels at presentation, like the
+    reference's cleared canvas (ref: common/pipeline.cu:721,760)."""
+    from icon_rt_tpu.ops.render import fb_to_image
+
+    pl = Pipeline(["--bgcolor", "0.25", "0.5", "1.0"], name=str(tmp_path / "p"))
+    np.testing.assert_allclose(pl.bgcolor, [0.25, 0.5, 1.0])
+    fb = np.zeros(4, np.uint32)
+    fb[1] = 0xFF00_00FF          # alpha=255, red=255: a hit pixel
+    img = fb_to_image(fb, 2, 2, bgcolor=pl.bgcolor)
+    # sRGB encode of the linear bgcolor, rounded to u8
+    exp = np.round(
+        (1.055 * np.array([0.25, 0.5, 1.0]) ** (1 / 2.4) - 0.055) * 255)
+    np.testing.assert_array_equal(img[0, 0, :3], exp.astype(np.uint8))
+    np.testing.assert_array_equal(img[0, 1, :3], [255, 0, 0])  # hit kept
+    assert (img[..., 3] == 255).all()
+    # composite flows through the batch present path
+    pl.width = pl.height = 2
+    img2 = None
+
+    def spy(path, arr):
+        nonlocal img2
+        img2 = arr
+        return True
+
+    import icon_rt_tpu.pipeline.pipeline as plmod
+    orig = plmod.write_png
+    plmod.write_png = spy
+    try:
+        pl.write_frame(fb)
+    finally:
+        plmod.write_png = orig
+    np.testing.assert_array_equal(img2, img)
