@@ -56,7 +56,8 @@ def _emit(note: str = ""):
                                      if RESULTS else None)
     desc = "; ".join(
         f"{name}[{r['cells']}c,{r['framing']},cov={r['coverage']}]: "
-        f"{r['mray_full']} full / {r['mray_traced']} traced Mray/s, "
+        f"{r['mray_full']} full / {r['mray_traced']} traced Mray/s "
+        f"(spread {r.get('spread', -1)}), "
         f"{r['fps']} fps, tf-edit {r['tf_edit_s']}s"
         for name, r in RESULTS.items())
     if note:
@@ -87,6 +88,30 @@ def _install_watchdog():
     # minutes more, and this harness runs several scales; warm-cache full
     # runs finish in a few minutes
     signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "3300")))
+
+
+def _median_windows(step, accum, fb, iters: int, spp: int, inv,
+                    windows: int = 3):
+    """Timed measurement as `windows` independent windows of `iters` calls;
+    returns (median seconds per window, relative spread, coverage, accum,
+    fb).  VERDICT round 2 weak #1: iters=2 single-window timing swung the
+    headline +/-25% run-to-run; the median with a reported spread makes
+    round-over-round deltas meaningful.  Each window materializes the
+    framebuffer to the host (np.asarray) — a wedged TPU worker otherwise
+    returns instantly and silently (README gotchas)."""
+    times = []
+    cov = 0.0
+    k = 1  # sample id 0 was the warmup call
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            accum, fb = step(k * spp, accum, fb)
+            k += 1
+        cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    spread = float((max(times) - min(times)) / max(med, 1e-9))
+    return med, spread, cov, accum, fb
 
 
 def _build_scene(subdiv: int, num_layers: int):
@@ -151,14 +176,11 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
                                  samples=spp)
 
     accum, fb = step(0, accum, fb)
-    cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
+    float((np.asarray(fb)[inv] != 0).mean())  # warm + sync
 
-    t0 = time.perf_counter()
-    for k in range(1, 1 + iters):
-        accum, fb = step(k * spp, accum, fb)
-    cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
-    dt = time.perf_counter() - t0
-    iters = iters * spp   # samples rendered in the timed window
+    dt, spread, cov, accum, fb = _median_windows(step, accum, fb, iters,
+                                                 spp, inv)
+    iters = iters * spp   # samples rendered per timed window
 
     # TF-edit latency (VERDICT r1 #8; BASELINE configs[3] is fps UNDER live
     # TF edits): edit -> majorant update -> profile re-bake -> next frame
@@ -190,6 +212,7 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
         "mray_full": round(total * iters / dt / 1e6, 2),
         "mray_traced": round(n_traced * iters / dt / 1e6, 2),
         "fps": round(iters / dt, 2),
+        "spread": round(spread, 3),
         "tf_edit_s": round(dt_edit, 3),
     }
 
@@ -234,14 +257,11 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                    samples=spp)
 
     accum, fb = step(0, accum, fb)
-    cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
+    float((np.asarray(fb)[inv] != 0).mean())  # warm + sync
 
-    t0 = time.perf_counter()
-    for k in range(1, 1 + iters):
-        accum, fb = step(k * spp, accum, fb)
-    cov = float((np.asarray(fb)[inv] != 0).mean())  # validate + sync
-    dt = time.perf_counter() - t0
-    iters = iters * spp   # samples rendered in the timed window
+    dt, spread, cov, accum, fb = _median_windows(step, accum, fb, iters,
+                                                 spp, inv)
+    iters = iters * spp   # samples rendered per timed window
 
     # TF edit on the quantized tier: 256-entry table bake + u8 table
     # lookup over (N, Lm) + band majorants + one frame
@@ -269,6 +289,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
         "mray_full": round(total * iters / dt / 1e6, 2),
         "mray_traced": round(n_traced * iters / dt / 1e6, 2),
         "fps": round(iters / dt, 2),
+        "spread": round(spread, 3),
         "tf_edit_s": round(dt_edit, 3),
     }
 

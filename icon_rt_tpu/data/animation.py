@@ -49,6 +49,102 @@ class Animation:
         return ICDataset(g.lat, g.lon, g.num_layers, g.height, self.values[t])
 
 
+def animate_fast_sharded(anim: Animation, cells, locator, bands, tf,
+                         lp_for_frame, mesh, width: int, height: int,
+                         samples_per_frame: int = 4, chunk: int = 4096
+                         ) -> Iterator[np.ndarray]:
+    """Render the time series over a device mesh (BASELINE configs[4]:
+    multi-timestep sequence, framebuffer tile-sharded, collective
+    composite).  Per timestep: swap the value plane, re-bake the packed
+    profile rows (replicated), re-deal the covered pixel prefix for the
+    timestep's camera, render samples_per_frame progressive samples on
+    every tile device, gather + scatter to natural pixel order.  Yields
+    one (H*W,) uint32 framebuffer per timestep."""
+    import jax
+    from ..models.cells import compute_stats
+    from ..ops.fast import PackedCells, pack_test_rows, pack_profile_rows
+    from ..ops.order import pixel_order
+    from ..parallel.sharded import (alloc_fast_sharded_frame,
+                                    jit_render_frame_fast_sharded,
+                                    plan_fast_sharding, scatter_fast_frame,
+                                    shard_local_pix)
+
+    stats = compute_stats(anim.geometry)
+    n_tiles = mesh.shape["tiles"]
+    step = jit_render_frame_fast_sharded(mesh, width=width, height=height,
+                                         chunk=chunk, donate=False)
+    test_rows = pack_test_rows(cells)
+    next_vals = jnp.asarray(anim.values[0])
+    for t in range(anim.num_timesteps):
+        cells_t = cells._replace(value=next_vals)
+        prof_t, rgb_t = pack_profile_rows(cells_t, tf)
+        packed = PackedCells(test=test_rows, prof=prof_t, rgb=rgb_t)
+        if t + 1 < anim.num_timesteps:
+            next_vals = jnp.asarray(anim.values[t + 1])  # overlap upload
+        lp0 = lp_for_frame(t, 0)
+        perm, n_active = pixel_order(lp0, stats.spherical_bounds_lo[0],
+                                     stats.spherical_bounds_hi[0],
+                                     width, height)
+        local = plan_fast_sharding(perm, n_active, n_tiles, chunk=chunk)
+        local_dev = shard_local_pix(mesh, local)
+        accum, fb = alloc_fast_sharded_frame(mesh, local)
+        for s in range(samples_per_frame):
+            accum, fb = step(cells_t, packed, locator, bands,
+                             lp_for_frame(t, s), accum, fb, local_dev)
+        yield scatter_fast_frame(np.asarray(jax.device_get(fb)), local,
+                                 width, height)
+
+
+def animate_fastq_sharded(geometry_q, value_q_steps, loc, k_cap: int,
+                          bands, tf, lp_for_frame, mesh, stats,
+                          width: int, height: int,
+                          samples_per_frame: int = 4, chunk: int = 4096
+                          ) -> Iterator[np.ndarray]:
+    """QUANTIZED time series over a device mesh — the full north-star
+    composition (BASELINE configs[4]: R2B9/R2B10-scale scenes only fit the
+    chip through the quantized tier; time-animated; tile-sharded fb;
+    collective composite; ref analog: the accel the renderer uses is built
+    where it runs, hostCode.cu:639-645).
+
+    geometry_q: models/qcells.QuantizedCells whose value_q/alpha_q planes
+    are re-baked per timestep.  value_q_steps: (T, N, Lm) u8 host array (or
+    sequence of (N, Lm) u8).  Geometry, locator and radial bands are
+    timestep-invariant (ICON grids are static; only the field animates)."""
+    import jax
+    from ..models.qcells import bake_alpha_q
+    from ..ops.order import pixel_order
+    from ..parallel.sharded import (alloc_fast_sharded_frame,
+                                    jit_render_frame_fastq_sharded,
+                                    plan_fast_sharding, replicate_tables,
+                                    scatter_fast_frame, shard_local_pix)
+    from ..utils.layout import put_table
+
+    n_tiles = mesh.shape["tiles"]
+    loc_r, bands_r, tf_r = replicate_tables(mesh, (loc, bands, tf))
+    step = jit_render_frame_fastq_sharded(mesh, width=width, height=height,
+                                          chunk=chunk, k_cap=k_cap,
+                                          donate=False)
+    for t in range(len(value_q_steps)):
+        vq_host = np.asarray(value_q_steps[t])
+        q_t = geometry_q._replace(value_q=put_table(vq_host))
+        # bake on the single-device tf (the bake's table lookup walks the
+        # committed single-device layout), then replicate the result
+        q_t = replicate_tables(mesh, bake_alpha_q(q_t, tf,
+                                                  value_q_host=vq_host))
+        lp0 = lp_for_frame(t, 0)
+        perm, n_active = pixel_order(lp0, stats.spherical_bounds_lo[0],
+                                     stats.spherical_bounds_hi[0],
+                                     width, height)
+        local = plan_fast_sharding(perm, n_active, n_tiles, chunk=chunk)
+        local_dev = shard_local_pix(mesh, local)
+        accum, fb = alloc_fast_sharded_frame(mesh, local)
+        for s in range(samples_per_frame):
+            accum, fb = step(q_t, loc_r, bands_r, tf_r, lp_for_frame(t, s),
+                             accum, fb, local_dev)
+        yield scatter_fast_frame(np.asarray(jax.device_get(fb)), local,
+                                 width, height)
+
+
 def animate_fast(anim: Animation, cells, locator, bands, tf, lp_for_frame,
                  width: int, height: int, samples_per_frame: int = 4
                  ) -> Iterator[np.ndarray]:

@@ -53,6 +53,29 @@ def timeit(fn, *args, iters=10, warmup=2, **kw):
     return (time.perf_counter() - t0) / iters
 
 
+def timeit_inner(body, carry0, reps=64, iters=3):
+    """Time `body` REPEATED reps times INSIDE one jitted execution (a
+    fori_loop threading a carry) — per-dispatch overhead through the axon
+    relay measured ~3-4 ms, which swamps single-call microbenches.  Returns
+    seconds per body application (fixed per-execution cost subtracted via a
+    second run at reps//4)."""
+    def run(reps_):
+        f = jax.jit(lambda c: jax.lax.fori_loop(
+            0, reps_, lambda i, c: body(i, c), c))
+        f(carry0)  # compile + warm
+        jax.block_until_ready(f(carry0))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = f(carry0)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return (time.perf_counter() - t0) / iters
+
+    lo = max(reps // 4, 1)
+    t_hi, t_lo = run(reps), run(lo)
+    return (t_hi - t_lo) / (reps - lo)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--subdiv", type=int, default=11)
@@ -126,32 +149,45 @@ def main():
     s0, consts, wrote = init()
 
     if "gather" in probes:
-        # raw row-gather cost at this scene's table sizes
+        # raw row-gather cost at this scene's table sizes, measured
+        # in-execution (per-dispatch relay overhead subtracted)
         key = jax.random.PRNGKey(0)
         idx = jax.random.randint(key, (L,), 0, q.num_cells)
         idx2 = jax.random.randint(key, (L, k_cap), 0, q.num_cells)
-        bid = jax.random.randint(key, (L,), 0, int(np.prod(np.asarray(loc.dims))))
+        bid = jax.random.randint(key, (L,), 0,
+                                 int(np.prod(np.asarray(loc.dims))))
+        n_bins = int(np.prod(np.asarray(loc.dims)))
 
-        t = timeit(jax.jit(lambda i: q.test12[i]), idx)
-        print(f"gather  test12 (L,16) rows:        {t*1e6:9.1f} us "
-              f"({t/L*1e9:6.1f} ns/row)", flush=True)
-        t = timeit(jax.jit(lambda i: loc.bins[i]), bid)
-        print(f"gather  bins (L,{k_cap}) rows:          {t*1e6:9.1f} us "
-              f"({t/L*1e9:6.1f} ns/row)", flush=True)
-        t = timeit(jax.jit(lambda i: q.test12[i]), idx2)
-        print(f"gather  test12 (L,{k_cap},16) rows:     {t*1e6:9.1f} us "
-              f"({t/(L*k_cap)*1e9:6.1f} ns/row)", flush=True)
-        t = timeit(jax.jit(lambda i: (q.alpha_q[i], q.value_q[i])), idx)
-        print(f"gather  alpha+value u8 (L,{lm}) rows: {t*1e6:9.1f} us "
-              f"({t/(2*L)*1e9:6.1f} ns/row)", flush=True)
+        def g_body(table, base, n):
+            def body(i, c):
+                ix = (base + i * 1000003) % n
+                return c + jnp.sum(table[ix].astype(jnp.float32))
+            return body
 
-    refresh_j = jax.jit(lambda s: _refresh_q(s, consts, loc, q, k_cap,
-                                             org, oo))
+        t = timeit_inner(g_body(q.test12, idx, q.num_cells), jnp.float32(0))
+        print(f"gather  test12 (L,16) rows:    {t/L*1e9:8.1f} ns/row",
+              flush=True)
+        t = timeit_inner(g_body(loc.bins, bid, n_bins), jnp.float32(0))
+        print(f"gather  bins (L,{k_cap}) rows:      {t/L*1e9:8.1f} ns/row",
+              flush=True)
+        t = timeit_inner(g_body(q.test12, idx2, q.num_cells), jnp.float32(0))
+        print(f"gather  test12 (L,{k_cap},16) rows: {t/(L*k_cap)*1e9:8.1f} "
+              f"ns/row", flush=True)
+        t = timeit_inner(g_body(q.alpha_q, idx, q.num_cells), jnp.float32(0))
+        print(f"gather  alpha u8 (L,{lm}) rows:  {t/L*1e9:8.1f} ns/row",
+              flush=True)
+
+    # step length scale: vary sample t per rep so refreshes hit fresh bins
+    dt_seg = float(np.asarray(bands.edges[-1] - bands.edges[0])) / 64.0
 
     if "refresh" in probes:
-        s_pend = s0._replace(pending=jnp.ones(L, jnp.int32))
-        t = timeit(refresh_j, s_pend)
-        print(f"refresh all-pending:               {t*1e6:9.1f} us "
+        def body(i, s):
+            s = s._replace(pending=jnp.ones(L, jnp.int32),
+                           t=s0.t + (i % 64).astype(jnp.float32) * dt_seg)
+            return _refresh_q(s, consts, loc, q, k_cap, org, oo)
+
+        t = timeit_inner(body, s0, reps=64)
+        print(f"refresh all-pending:           {t*1e6:9.1f} us "
               f"({t/L*1e9:6.1f} ns/lane)", flush=True)
 
     def inner(s):
@@ -160,23 +196,28 @@ def main():
                           ml=lm, a_off=lm)
         return s
 
-    inner_j = jax.jit(inner)
     if "steps" in probes:
-        t = timeit(inner_j, s0)
-        print(f"steps x{args.spr} (no refresh):          {t*1e6:9.1f} us "
+        def body(i, s):
+            return inner(s._replace(done=jnp.zeros(L, jnp.int32),
+                                    pending=jnp.zeros(L, jnp.int32)))
+
+        t = timeit_inner(body, s0, reps=64)
+        print(f"steps x{args.spr} (no refresh):      {t*1e6:9.1f} us "
               f"({t/(L*args.spr)*1e9:6.1f} ns/lane-step)", flush=True)
 
-    def outer_iter(s):
-        s = jax.lax.cond(jnp.any(s.pending != 0),
-                         lambda x: _refresh_q(x, consts, loc, q, k_cap,
-                                              org, oo),
-                         lambda x: x, s)
-        return inner(s)
-
-    outer_j = jax.jit(outer_iter)
     if "outer" in probes:
-        t = timeit(outer_j, s0)
-        print(f"outer iteration (cond+svc+steps):  {t*1e6:9.1f} us",
+        def body(i, s):
+            s = s._replace(done=jnp.zeros(L, jnp.int32),
+                           pending=(jnp.arange(L) % 2).astype(jnp.int32),
+                           t=s0.t + (i % 64).astype(jnp.float32) * dt_seg)
+            s = jax.lax.cond(jnp.any(s.pending != 0),
+                             lambda x: _refresh_q(x, consts, loc, q, k_cap,
+                                                  org, oo),
+                             lambda x: x, s)
+            return inner(s)
+
+        t = timeit_inner(body, s0, reps=64)
+        print(f"outer iteration (refresh+steps): {t*1e6:7.1f} us",
               flush=True)
 
     if "loop" in probes:

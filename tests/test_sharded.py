@@ -234,3 +234,113 @@ def test_fast_sharded_inlane_samples():
     np.testing.assert_array_equal(
         scatter_fast_frame(gather_frame(f3), local, W, H),
         scatter_fast_frame(gather_frame(f1), local, W, H))
+
+
+def _qscene(subdivisions=2, num_layers=5):
+    from icon_rt_tpu.models.locator import build_locator_csr, densify_csr
+    from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
+                                           quantize_dataset_values)
+    from icon_rt_tpu.models.shells import (build_radial_bands,
+                                           update_band_majorants)
+    from icon_rt_tpu.data import synthetic as syn
+
+    ds = syn.icosphere(subdivisions=subdivisions, num_layers=num_layers)
+    ds_q, lo, hi = quantize_dataset_values(ds)
+    stats = compute_stats(ds_q)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    q = bake_alpha_q(quantize_cells(ds_q), tf)
+    csr, k_cap = build_locator_csr(ds_q)
+    loc = densify_csr(csr, k_cap)
+    bands = update_band_majorants(build_radial_bands(ds_q, 16),
+                                  tf.values, tf.value_range)
+    return ds_q, stats, tf, q, loc, k_cap, bands
+
+
+def test_fastq_sharded_matches_single_device():
+    """The north-star composition (VERDICT r2 missing #2): the QUANTIZED
+    tier under shard_map equals the single-device quantized render
+    bit-for-bit (per-pixel results depend only on pixel id + accum_id)."""
+    from icon_rt_tpu.ops.fastq import render_frame_fast_q
+    from icon_rt_tpu.ops.order import pixel_order
+    from icon_rt_tpu.parallel.sharded import (alloc_fast_sharded_frame,
+                                              jit_render_frame_fastq_sharded,
+                                              plan_fast_sharding,
+                                              scatter_fast_frame,
+                                              shard_local_pix)
+
+    W, H = 32, 24
+    ds_q, stats, tf, q, loc, k_cap, bands = _qscene()
+    cam = Camera()
+    cam.set_aspect(W / H)
+    center = 0.5 * (stats.world_bounds_lo + stats.world_bounds_hi)
+    R = float(stats.spherical_bounds_hi[0])
+    cam.set_orientation(center + np.array([1.8 * R, 0.3 * R, 0.7 * R],
+                                          np.float32),
+                        center, np.array([0, 0, 1], np.float32), cam.fovy)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], W, H)
+
+    T, chunk = 8, 16
+    local = plan_fast_sharding(perm, n_active, T, chunk)
+    mesh = make_mesh(tiles=T, samples=1)
+    from icon_rt_tpu.parallel.sharded import replicate_tables
+    q_r, loc_r = replicate_tables(mesh, (q, loc))
+    step = jit_render_frame_fastq_sharded(mesh, width=W, height=H,
+                                          chunk=chunk, k_cap=k_cap,
+                                          donate=False)
+    accum, fb = alloc_fast_sharded_frame(mesh, local)
+    pix_dev = shard_local_pix(mesh, local)
+    accum, fb = step(q_r, loc_r, bands, tf, lp, accum, fb, pix_dev)
+    img = scatter_fast_frame(gather_frame(fb), local, W, H)
+
+    a_ref, f_ref = render_frame_fast_q(q, loc, k_cap, bands, tf, lp,
+                                       *alloc_frame(W, H), width=W, height=H)
+    assert (img != 0).any()
+    np.testing.assert_array_equal(img, np.asarray(f_ref))
+
+
+def test_fastq_sharded_inlane_samples():
+    """Quantized tier + in-lane sample batching + shard_map: equals
+    sequential sharded quantized steps bit-for-bit."""
+    from icon_rt_tpu.ops.order import pixel_order
+    from icon_rt_tpu.parallel.sharded import (alloc_fast_sharded_frame,
+                                              jit_render_frame_fastq_sharded,
+                                              plan_fast_sharding,
+                                              scatter_fast_frame,
+                                              shard_local_pix)
+
+    W, H = 32, 24
+    ds_q, stats, tf, q, loc, k_cap, bands = _qscene()
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    cam.set_aspect(W / H)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], W, H)
+    T, chunk = 8, 16
+    local = plan_fast_sharding(perm, n_active, T, chunk)
+    mesh = make_mesh(tiles=T, samples=1)
+    pix_dev = shard_local_pix(mesh, local)
+    from icon_rt_tpu.parallel.sharded import replicate_tables
+    q, loc = replicate_tables(mesh, (q, loc))
+
+    step1 = jit_render_frame_fastq_sharded(mesh, width=W, height=H,
+                                           chunk=chunk, k_cap=k_cap,
+                                           donate=False)
+    a1, f1 = alloc_fast_sharded_frame(mesh, local)
+    for s in range(3):
+        a1, f1 = step1(q, loc, bands, tf,
+                       lp._replace(accum_id=jnp.int32(s)), a1, f1, pix_dev)
+
+    stepS = jit_render_frame_fastq_sharded(mesh, width=W, height=H,
+                                           chunk=chunk, k_cap=k_cap,
+                                           samples=3, donate=False)
+    a3, f3 = alloc_fast_sharded_frame(mesh, local)
+    a3, f3 = stepS(q, loc, bands, tf, lp._replace(accum_id=jnp.int32(0)),
+                   a3, f3, pix_dev)
+    np.testing.assert_array_equal(
+        scatter_fast_frame(gather_frame(f3), local, W, H),
+        scatter_fast_frame(gather_frame(f1), local, W, H))
