@@ -126,7 +126,10 @@ def animate_fastq_sharded(geometry_q, value_q_steps, loc, k_cap: int,
                                           donate=False)
     for t in range(len(value_q_steps)):
         vq_host = np.asarray(value_q_steps[t])
-        q_t = geometry_q._replace(value_q=put_table(vq_host))
+        # alpha_tab=None: the values changed, so bake_alpha_q's
+        # unchanged-table fast path must not reuse the stale alpha_q
+        q_t = geometry_q._replace(value_q=put_table(vq_host),
+                                  alpha_tab=None)
         # bake on the single-device tf (the bake's table lookup walks the
         # committed single-device layout), then replicate the result
         q_t = replicate_tables(mesh, bake_alpha_q(q_t, tf,

@@ -55,6 +55,15 @@ class QuantizedCells(NamedTuple):
     value_lo: jnp.ndarray  # () f32
     value_hi: jnp.ndarray  # () f32
     alpha_max: jnp.ndarray  # () f32 dequant scale for alpha_q
+    alpha_tab: np.ndarray = None  # (256,) u8 HOST copy of the normalized
+                           # bake table alpha_q was built from; lets
+                           # bake_alpha_q skip the (N, Lm) rewrite when an
+                           # edit leaves the normalized table unchanged
+                           # (every pure opacity-scale edit does: alpha and
+                           # alpha_max scale together).  None = unknown.
+                           # INVARIANT: alpha_q == alpha_tab[value_q]; any
+                           # _replace that swaps value_q must reset
+                           # alpha_tab=None (see data/animation.py)
 
     @property
     def num_cells(self) -> int:
@@ -174,12 +183,22 @@ def bake_alpha_q(q: QuantizedCells, tf: Transfunc,
     a u8 table lookup over (N, Lm).  Floor quantization keeps every stored
     alpha <= the true alpha, preserving majorant conservativeness.
 
+    FAST PATH (round-3 verdict item 4 — r2b9q TF edits took 42.9 s): when
+    the NORMALIZED 256-entry table equals the one alpha_q was baked from
+    (q.alpha_tab), the (N, Lm) table is already correct and only the
+    alpha_max dequant scalar moves.  Every pure opacity-scale edit — the
+    reference's most common TFE gesture — lands here, because alpha and
+    its max scale together, so floor(a/amax*255) is unchanged.
+
     Deliberately NOT jitted as a whole: the lookup dispatches between a
     layout-preserving device path and a host path for R2B9-scale tables
     (see below)."""
     a_tab = _classify_alpha_table(tf, q.value_lo, q.value_hi)
     a_max = jnp.maximum(jnp.max(a_tab), jnp.float32(1e-8))
     q_tab = jnp.floor(a_tab / a_max * 255.0).astype(jnp.uint8)
+    tab_host = np.asarray(q_tab)
+    if q.alpha_tab is not None and np.array_equal(tab_host, q.alpha_tab):
+        return q._replace(alpha_max=a_max)
     # the lookup preserves value_q's committed (transposed, unpadded)
     # layout on the output: a row-major (N, 16) u8/s32 array tiles to
     # (8,128)/(32,128) lanes on TPU — an 8x pad that is 10-43 GB at R2B9
@@ -194,11 +213,11 @@ def bake_alpha_q(q: QuantizedCells, tf: Transfunc,
         from ..utils.layout import put_table
         vq = value_q_host if value_q_host is not None \
             else np.asarray(q.value_q)
-        alpha_np = np.asarray(q_tab)[vq]
+        alpha_np = tab_host[vq]
         alpha_q = put_table(alpha_np)
     else:
         alpha_q = _bake_lookup(q.value_q, q_tab)
-    return q._replace(alpha_q=alpha_q, alpha_max=a_max)
+    return q._replace(alpha_q=alpha_q, alpha_max=a_max, alpha_tab=tab_host)
 
 
 _BAKE_CACHE: dict = {}

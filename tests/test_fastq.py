@@ -171,3 +171,36 @@ def test_batched_samples_bit_identical_q(scene):
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=0,
                                atol=2.5e-7)
+
+
+def test_bake_alpha_q_unchanged_table_skips_rewrite(scene):
+    """Round-3 TF-edit fast path: when an edit leaves the NORMALIZED
+    256-entry table unchanged (color-only LUT edits, no-op strokes),
+    bake_alpha_q skips the (N, Lm) rewrite entirely.
+
+    (A pure opacity-scale edit does NOT qualify: the reference's
+    asymmetric postClassify — opacityScale multiplies only the second
+    lerp term, ref deviceCode.cu:134 — makes alpha affine, not linear,
+    in the scale, so the normalized table genuinely changes.)"""
+    ds_q, stats, tf, q, *_ = scene
+    # color-only edit: swap R and B channels, alpha untouched
+    lut = np.asarray(tf.values).copy()
+    lut[:, [0, 2]] = lut[:, [2, 0]]
+    q2 = bake_alpha_q(q, tf._replace(values=jnp.asarray(lut)))
+    assert q2.alpha_q is q.alpha_q          # no rewrite, same buffer
+    np.testing.assert_array_equal(q2.alpha_tab, q.alpha_tab)
+    assert float(q2.alpha_max) == float(q.alpha_max)
+
+
+def test_bake_alpha_q_curve_edit_rebakes(scene):
+    """A non-uniform LUT alpha edit changes the normalized table and must
+    rebake; the result matches a from-scratch bake."""
+    ds_q, stats, tf, q, *_ = scene
+    lut = np.asarray(tf.values).copy()
+    lut[: lut.shape[0] // 2, 3] = 0.0       # kill the lower half
+    tf2 = tf._replace(values=jnp.asarray(lut))
+    q2 = bake_alpha_q(q, tf2)
+    fresh = bake_alpha_q(q._replace(alpha_tab=None), tf2)
+    np.testing.assert_array_equal(np.asarray(q2.alpha_q),
+                                  np.asarray(fresh.alpha_q))
+    assert not np.array_equal(np.asarray(q2.alpha_q), np.asarray(q.alpha_q))
