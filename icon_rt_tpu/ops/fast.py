@@ -548,7 +548,8 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
 def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 bands: RadialBands, lp, xs, ys, width: int, height: int,
                 steps_per_refresh: int = 8, max_outer: int = 16384,
-                return_cost: bool = False, sampler: str = "locator"):
+                return_cost: bool = False, sampler: str = "locator",
+                outer_unroll: int = 1):
     """One progressive sample for a batch of pixels.
 
     lp: ops.render.LaunchParams.  xs, ys: (L,) i32 pixel coords.
@@ -594,11 +595,20 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         return jnp.any(s.done == 0) & (it < max_outer)
 
     def outer_body(carry):
+        # outer_unroll > 1 amortizes the while_loop mechanics (cond
+        # reduction + branch dispatch — measured ~1.2 ms/iteration at
+        # L=8192, ~3x the refresh itself) over several refresh+steps
+        # phases.  The per-lane refresh/step cadence is EXACTLY that of
+        # the unroll=1 loop, so outputs are bit-identical; the loop may
+        # only run up to outer_unroll-1 extra no-op phases at the tail.
         s, it, fin = carry
-        s = jax.lax.cond(jnp.any(s.pending != 0), refresh, lambda x: x, s)
-        s = inner_phase(s)
-        fin = jnp.where((s.done != 0) & (fin < 0), it + 1, fin)
-        return (s, it + 1, fin)
+        for _ in range(outer_unroll):
+            s = jax.lax.cond(jnp.any(s.pending != 0), refresh,
+                             lambda x: x, s)
+            s = inner_phase(s)
+            it = it + 1
+            fin = jnp.where((s.done != 0) & (fin < 0), it, fin)
+        return (s, it, fin)
 
     out, _, fin = jax.lax.while_loop(
         outer_cond, outer_body,
@@ -616,7 +626,8 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 
 
 def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
-               samples: int, max_outer: int = 16384):
+               samples: int, max_outer: int = 16384,
+               outer_unroll: int = 1):
     """Generic in-lane sample-batching wavefront loop (shared by the f32
     and quantized tiers).
 
@@ -681,12 +692,15 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
         return jnp.any(q["samp"] < S) & (it < max_outer)
 
     def outer_body(carry):
+        # unrolled like render_fast's outer_body (same bit-exactness
+        # argument; amortizes while_loop mechanics over several phases)
         q, it = carry
-        need_service = jnp.any((q["s"].pending != 0)
-                               | ((q["s"].done != 0) & (q["samp"] < S)))
-        q = jax.lax.cond(need_service, service, lambda x: x, q)
-        q = dict(q, s=inner_phase(q["s"], q["c"]))
-        return (q, it + 1)
+        for _ in range(outer_unroll):
+            need_service = jnp.any((q["s"].pending != 0)
+                                   | ((q["s"].done != 0) & (q["samp"] < S)))
+            q = jax.lax.cond(need_service, service, lambda x: x, q)
+            q = dict(q, s=inner_phase(q["s"], q["c"]))
+        return (q, it + outer_unroll)
 
     def service(q):
         q = jax.lax.cond(
@@ -715,7 +729,7 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, xs, ys, width: int, height: int,
                       accum0, fb0, samples: int,
                       steps_per_refresh: int = 8, max_outer: int = 16384,
-                      sampler: str = "locator"):
+                      sampler: str = "locator", outer_unroll: int = 1):
     """`samples` progressive samples per lane in ONE wavefront loop — the
     f32-tier instantiation of batch_loop (see its docstring)."""
     fv = sampler == "wedge"
@@ -745,7 +759,7 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
         return s
 
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
-                      samples, max_outer)
+                      samples, max_outer, outer_unroll)
 
 
 def _shade(s: _State, c: _Consts, rgb_table, lp, oo, flat_vert: bool = False):
@@ -774,7 +788,7 @@ def _shade(s: _State, c: _Consts, rgb_table, lp, oo, flat_vert: bool = False):
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
                                     "chunk", "n_active", "return_cost",
-                                    "samples", "sampler"),
+                                    "samples", "sampler", "outer_unroll"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
@@ -783,7 +797,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       n_active: int | None = None,
                       return_cost: bool = False,
                       samples: int = 1,
-                      sampler: str = "locator"):
+                      sampler: str = "locator",
+                      outer_unroll: int = 1):
     """Full-frame progressive step on the fast path (drop-in peer of
     render_frame_ae / render_frame_accel).
 
@@ -828,7 +843,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
         accum_head, fb_head = _run_batched_generic(
             lambda xs, ys, a0, f0: render_fast_batch(
                 cells, packed, loc, bands, lp, xs, ys, width, height,
-                a0, f0, samples, steps_per_refresh, sampler=sampler),
+                a0, f0, samples, steps_per_refresh, sampler=sampler,
+                outer_unroll=outer_unroll),
             xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
         if n_proc == total:
             return accum_head, fb_head
@@ -838,7 +854,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
     def run(xs, ys):
         return render_fast(cells, packed, loc, bands, lp, xs, ys,
                            width, height, steps_per_refresh,
-                           return_cost=return_cost, sampler=sampler)
+                           return_cost=return_cost, sampler=sampler,
+                           outer_unroll=outer_unroll)
 
     if n_proc <= chunk:
         out = run(xs_all, ys_all)

@@ -145,7 +145,8 @@ def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, oo, lm: int):
 def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                   bands: RadialBands, tf: Transfunc, lp, xs, ys,
                   width: int, height: int, steps_per_refresh: int = 8,
-                  max_outer: int = 16384, return_cost: bool = False):
+                  max_outer: int = 16384, return_cost: bool = False,
+                  outer_unroll: int = 1):
     """One progressive sample for a batch of pixels on the quantized tier.
     Returns (wrote (L,) bool, color_alpha (L, 4) f32) [+ per-lane cost
     (outer iterations to completion) when return_cost]."""
@@ -178,11 +179,15 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
         return jnp.any(s.done == 0) & (it < max_outer)
 
     def outer_body(carry):
+        # unrolled; see ops/fast.render_fast (bit-identical cadence)
         s, it, fin = carry
-        s = jax.lax.cond(jnp.any(s.pending != 0), refresh, lambda x: x, s)
-        s = inner_phase(s)
-        fin = jnp.where((s.done != 0) & (fin < 0), it + 1, fin)
-        return (s, it + 1, fin)
+        for _ in range(outer_unroll):
+            s = jax.lax.cond(jnp.any(s.pending != 0), refresh,
+                             lambda x: x, s)
+            s = inner_phase(s)
+            it = it + 1
+            fin = jnp.where((s.done != 0) & (fin < 0), it, fin)
+        return (s, it, fin)
 
     out, _, fin = jax.lax.while_loop(
         outer_cond, outer_body,
@@ -196,7 +201,8 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
 def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                         bands: RadialBands, tf: Transfunc, lp, xs, ys,
                         width: int, height: int, accum0, fb0, samples: int,
-                        steps_per_refresh: int = 8, max_outer: int = 16384):
+                        steps_per_refresh: int = 8, max_outer: int = 16384,
+                        outer_unroll: int = 1):
     """`samples` progressive samples per lane in ONE wavefront loop — the
     quantized-tier instantiation of ops/fast.batch_loop."""
     nb = bands.num_bands
@@ -225,13 +231,14 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
         return s
 
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
-                      samples, max_outer)
+                      samples, max_outer, outer_unroll)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
                                     "chunk", "k_cap", "n_active",
-                                    "return_cost", "samples"),
+                                    "return_cost", "samples",
+                                    "outer_unroll"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                         bands: RadialBands, tf: Transfunc, lp, accum, fb, *,
@@ -239,7 +246,8 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                         chunk: int = 4096, pixel_perm=None,
                         n_active: int | None = None,
                         return_cost: bool = False,
-                        samples: int = 1):
+                        samples: int = 1,
+                        outer_unroll: int = 1):
     """Full-frame progressive step on the quantized tier — drop-in peer of
     ops/fast.render_frame_fast (same pixel_perm / n_active / return_cost /
     samples contract)."""
@@ -262,7 +270,8 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
         accum_head, fb_head = _run_batched_generic(
             lambda xs, ys, a0, f0: render_fast_q_batch(
                 q, loc, k_cap, bands, tf, lp, xs, ys, width, height,
-                a0, f0, samples, steps_per_refresh),
+                a0, f0, samples, steps_per_refresh,
+                outer_unroll=outer_unroll),
             xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
         if n_proc == total:
             return accum_head, fb_head
@@ -272,7 +281,8 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
     def run(xs, ys):
         return render_fast_q(q, loc, k_cap, bands, tf, lp, xs, ys,
                              width, height, steps_per_refresh,
-                             return_cost=return_cost)
+                             return_cost=return_cost,
+                             outer_unroll=outer_unroll)
 
     if n_proc <= chunk:
         out = run(xs_all, ys_all)

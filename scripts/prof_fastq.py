@@ -53,21 +53,28 @@ def timeit(fn, *args, iters=10, warmup=2, **kw):
     return (time.perf_counter() - t0) / iters
 
 
-def timeit_inner(body, carry0, reps=64, iters=3):
+def timeit_inner(body, carry0, reps=64, iters=3, tables=()):
     """Time `body` REPEATED reps times INSIDE one jitted execution (a
     fori_loop threading a carry) — per-dispatch overhead through the axon
     relay measured ~3-4 ms, which swamps single-call microbenches.  Returns
     seconds per body application (fixed per-execution cost subtracted via a
-    second run at reps//4)."""
+    second run at reps//4; the trip count is an ARGUMENT so both runs share
+    one compile — remote compiles cost minutes at R2B9 shapes).
+
+    tables: pytree of device arrays the body reads — passed as jit
+    ARGUMENTS (body receives it as its third argument).  Closing over
+    them instead captures them as lowering CONSTANTS (jax warns at
+    10.7 GB captured at R2B9) and poisons the compile."""
+    f = jax.jit(lambda c, n, tb: jax.lax.fori_loop(
+        0, n, lambda i, c: body(i, c, tb), c))
+
     def run(reps_):
-        f = jax.jit(lambda c: jax.lax.fori_loop(
-            0, reps_, lambda i, c: body(i, c), c))
-        f(carry0)  # compile + warm
-        jax.block_until_ready(f(carry0))
+        n = jnp.int32(reps_)
+        jax.block_until_ready(f(carry0, n, tables))  # compile + warm
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
-            out = f(carry0)
+            out = f(carry0, n, tables)
         np.asarray(jax.tree_util.tree_leaves(out)[0])
         return (time.perf_counter() - t0) / iters
 
@@ -98,13 +105,17 @@ def main():
     from icon_rt_tpu.ops.order import pixel_order
     from icon_rt_tpu.ops.render import make_launch_params
 
+    t0 = time.time()
     sc = synth_quantized_cached(args.subdiv, args.layers)
+    print(f"# scene loaded {time.time()-t0:.0f}s", flush=True)
     tf = make_transfunc(value_range=tuple(sc.stats.data_range))
     q, bands = to_device(sc)
     q = bake_alpha_q(q, tf, value_q_host=sc.value_q)
     bands = update_band_majorants(bands, tf.values, tf.value_range)
+    print(f"# tables on device {time.time()-t0:.0f}s", flush=True)
     loc, k_cap = build_locator_csr_from_scene(
         sc, cache_key=f"s{args.subdiv}_l{args.layers}")
+    print(f"# locator on device {time.time()-t0:.0f}s", flush=True)
     stats = sc.stats
     print(f"# scene: {sc.num_cells} cells, lm={q.lm}, k_cap={k_cap}, "
           f"bins={np.prod(np.asarray(loc.dims))} "
@@ -154,26 +165,29 @@ def main():
         key = jax.random.PRNGKey(0)
         idx = jax.random.randint(key, (L,), 0, q.num_cells)
         idx2 = jax.random.randint(key, (L, k_cap), 0, q.num_cells)
-        bid = jax.random.randint(key, (L,), 0,
-                                 int(np.prod(np.asarray(loc.dims))))
         n_bins = int(np.prod(np.asarray(loc.dims)))
+        bid = jax.random.randint(key, (L,), 0, n_bins)
 
-        def g_body(table, base, n):
-            def body(i, c):
+        def g_body(base, n):
+            def body(i, c, tb):
                 ix = (base + i * 1000003) % n
-                return c + jnp.sum(table[ix].astype(jnp.float32))
+                return c + jnp.sum(tb[ix].astype(jnp.float32))
             return body
 
-        t = timeit_inner(g_body(q.test12, idx, q.num_cells), jnp.float32(0))
+        t = timeit_inner(g_body(idx, q.num_cells), jnp.float32(0),
+                         tables=q.test12)
         print(f"gather  test12 (L,16) rows:    {t/L*1e9:8.1f} ns/row",
               flush=True)
-        t = timeit_inner(g_body(loc.bins, bid, n_bins), jnp.float32(0))
+        t = timeit_inner(g_body(bid, n_bins), jnp.float32(0),
+                         tables=loc.bins)
         print(f"gather  bins (L,{k_cap}) rows:      {t/L*1e9:8.1f} ns/row",
               flush=True)
-        t = timeit_inner(g_body(q.test12, idx2, q.num_cells), jnp.float32(0))
+        t = timeit_inner(g_body(idx2, q.num_cells), jnp.float32(0),
+                         tables=q.test12)
         print(f"gather  test12 (L,{k_cap},16) rows: {t/(L*k_cap)*1e9:8.1f} "
               f"ns/row", flush=True)
-        t = timeit_inner(g_body(q.alpha_q, idx, q.num_cells), jnp.float32(0))
+        t = timeit_inner(g_body(idx, q.num_cells), jnp.float32(0),
+                         tables=q.alpha_q)
         print(f"gather  alpha u8 (L,{lm}) rows:  {t/L*1e9:8.1f} ns/row",
               flush=True)
 
@@ -181,12 +195,13 @@ def main():
     dt_seg = float(np.asarray(bands.edges[-1] - bands.edges[0])) / 64.0
 
     if "refresh" in probes:
-        def body(i, s):
+        def body(i, s, tb):
+            loc_, q_ = tb
             s = s._replace(pending=jnp.ones(L, jnp.int32),
                            t=s0.t + (i % 64).astype(jnp.float32) * dt_seg)
-            return _refresh_q(s, consts, loc, q, k_cap, org, oo)
+            return _refresh_q(s, consts, loc_, q_, k_cap, org, oo)
 
-        t = timeit_inner(body, s0, reps=64)
+        t = timeit_inner(body, s0, reps=64, tables=(loc, q))
         print(f"refresh all-pending:           {t*1e6:9.1f} us "
               f"({t/L*1e9:6.1f} ns/lane)", flush=True)
 
@@ -197,7 +212,7 @@ def main():
         return s
 
     if "steps" in probes:
-        def body(i, s):
+        def body(i, s, tb):
             return inner(s._replace(done=jnp.zeros(L, jnp.int32),
                                     pending=jnp.zeros(L, jnp.int32)))
 
@@ -206,22 +221,23 @@ def main():
               f"({t/(L*args.spr)*1e9:6.1f} ns/lane-step)", flush=True)
 
     if "outer" in probes:
-        def body(i, s):
+        def body(i, s, tb):
+            loc_, q_ = tb
             s = s._replace(done=jnp.zeros(L, jnp.int32),
                            pending=(jnp.arange(L) % 2).astype(jnp.int32),
                            t=s0.t + (i % 64).astype(jnp.float32) * dt_seg)
             s = jax.lax.cond(jnp.any(s.pending != 0),
-                             lambda x: _refresh_q(x, consts, loc, q, k_cap,
-                                                  org, oo),
+                             lambda x: _refresh_q(x, consts, loc_, q_,
+                                                  k_cap, org, oo),
                              lambda x: x, s)
             return inner(s)
 
-        t = timeit_inner(body, s0, reps=64)
+        t = timeit_inner(body, s0, reps=64, tables=(loc, q))
         print(f"outer iteration (refresh+steps): {t*1e6:7.1f} us",
               flush=True)
 
     if "loop" in probes:
-        def loop(s):
+        def loop(s, loc_, q_):
             def cond(c):
                 s, it = c
                 return jnp.any(s.done == 0) & (it < 16384)
@@ -229,7 +245,7 @@ def main():
             def body(c):
                 s, it = c
                 s = jax.lax.cond(jnp.any(s.pending != 0),
-                                 lambda x: _refresh_q(x, consts, loc, q,
+                                 lambda x: _refresh_q(x, consts, loc_, q_,
                                                       k_cap, org, oo),
                                  lambda x: x, s)
                 return inner(s), it + 1
@@ -237,15 +253,15 @@ def main():
             s, it = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
             return s.alpha, it
 
-        t = timeit(jax.jit(loop), s0, iters=4)
-        _, it = jax.jit(loop)(s0)
+        t = timeit(jax.jit(loop), s0, loc, q, iters=4)
+        _, it = jax.jit(loop)(s0, loc, q)
         print(f"full chunk loop (1 sample/lane):   {t*1e6:9.1f} us, "
               f"{int(it)} outer iterations "
               f"({t/max(int(it),1)*1e6:6.1f} us/iter)", flush=True)
 
     if "stats" in probes:
         # instrumented loop: same math, plus counters
-        def loop_stats(s):
+        def loop_stats(s, loc_, q_):
             def cond(c):
                 s, it, pend_ev, steps_ev, refr = c
                 return jnp.any(s.done == 0) & (it < 16384)
@@ -256,7 +272,7 @@ def main():
                 refr = refr + any_p.astype(jnp.int32)
                 pend_ev = pend_ev + jnp.sum(s.pending)
                 s = jax.lax.cond(any_p,
-                                 lambda x: _refresh_q(x, consts, loc, q,
+                                 lambda x: _refresh_q(x, consts, loc_, q_,
                                                       k_cap, org, oo),
                                  lambda x: x, s)
                 live0 = jnp.sum((s.done == 0).astype(jnp.int32))
@@ -269,7 +285,7 @@ def main():
                 cond, body, (s, z, z, z, z))
             return it, pend_ev, steps_ev, refr
 
-        it, pend_ev, steps_ev, refr = jax.jit(loop_stats)(s0)
+        it, pend_ev, steps_ev, refr = jax.jit(loop_stats)(s0, loc, q)
         n_live = int(jnp.sum((s0.done == 0).astype(jnp.int32)))
         print(f"stats: lanes={L} live0={n_live} outer_iters={int(it)} "
               f"refresh_iters={int(refr)} "

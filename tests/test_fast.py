@@ -196,3 +196,32 @@ def test_batched_samples_bit_identical():
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1))
     assert (np.asarray(f1) != 0).any()
+
+
+def test_outer_unroll_bit_identical():
+    """outer_unroll=u repeats the refresh+steps phase u times per while
+    iteration — identical per-lane cadence, so accum/fb must be
+    bit-identical at every samples setting."""
+    from icon_rt_tpu.ops.render import alloc_frame, make_launch_params
+
+    W = H = 24
+    ds, stats, cam = _scene()
+    cells = build_cells(ds)
+    loc = build_locator(ds)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    bands = update_band_majorants(build_radial_bands(ds, 16),
+                                  tf.values, tf.value_range)
+    packed = pack_cells(cells, tf)
+    cam.set_aspect(W / H)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=5.0)
+    for samples in (1, 3):
+        a1, f1 = render_frame_fast(cells, packed, loc, bands, lp,
+                                   *alloc_frame(W, H), width=W, height=H,
+                                   samples=samples, chunk=128)
+        a4, f4 = render_frame_fast(cells, packed, loc, bands, lp,
+                                   *alloc_frame(W, H), width=W, height=H,
+                                   samples=samples, chunk=128,
+                                   outer_unroll=4)
+        np.testing.assert_array_equal(np.asarray(f4), np.asarray(f1))
+        np.testing.assert_array_equal(np.asarray(a4), np.asarray(a1))

@@ -204,3 +204,23 @@ def test_bake_alpha_q_curve_edit_rebakes(scene):
     np.testing.assert_array_equal(np.asarray(q2.alpha_q),
                                   np.asarray(fresh.alpha_q))
     assert not np.array_equal(np.asarray(q2.alpha_q), np.asarray(q.alpha_q))
+
+
+def test_outer_unroll_bit_identical_q(scene):
+    """Quantized-tier outer_unroll: same bit-exactness as the f32 path."""
+    from icon_rt_tpu.ops.camera import Camera
+    W = H = 24
+    ds_q, stats, tf, q, loc, k_cap, bands = scene
+    cam = Camera()
+    cam.set_aspect(W / H)
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    a1, f1 = render_frame_fast_q(q, loc, k_cap, bands, tf, lp,
+                                 *alloc_frame(W, H), width=W, height=H,
+                                 samples=3, chunk=128)
+    a4, f4 = render_frame_fast_q(q, loc, k_cap, bands, tf, lp,
+                                 *alloc_frame(W, H), width=W, height=H,
+                                 samples=3, chunk=128, outer_unroll=4)
+    np.testing.assert_array_equal(np.asarray(f4), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(a4), np.asarray(a1))
