@@ -117,7 +117,7 @@ def animate_fastq_sharded(geometry_q, value_q_steps, loc, k_cap: int,
                                     jit_render_frame_fastq_sharded,
                                     plan_fast_sharding, replicate_tables,
                                     scatter_fast_frame, shard_local_pix)
-    from ..utils.layout import put_table
+    from ..utils.layout import pack_table
 
     n_tiles = mesh.shape["tiles"]
     loc_r, bands_r, tf_r = replicate_tables(mesh, (loc, bands, tf))
@@ -128,7 +128,7 @@ def animate_fastq_sharded(geometry_q, value_q_steps, loc, k_cap: int,
         vq_host = np.asarray(value_q_steps[t])
         # alpha_tab=None: the values changed, so bake_alpha_q's
         # unchanged-table fast path must not reuse the stale alpha_q
-        q_t = geometry_q._replace(value_q=put_table(vq_host),
+        q_t = geometry_q._replace(value_q=jax.device_put(pack_table(vq_host)),
                                   alpha_tab=None)
         # bake on the single-device tf (the bake's table lookup walks the
         # committed single-device layout), then replicate the result

@@ -210,22 +210,24 @@ def to_device(sc: QuantScene):
     import jax.numpy as jnp
     from ..models.qcells import QuantizedCells
     from ..models.shells import RadialBands
-    # pad stored (N, 12) rows to (N, 16) at upload: 12-wide rows misalign
-    # the (8,128) TPU tile and gather ~5x slower (docs/ROUND2.md); the npz
-    # cache keeps the compact 12-wide form.  All tables upload with the
-    # transposed (unpadded) layout — row-major (N, 16) sub-word tables
-    # pad 8x in HBM (utils/layout.py)
-    from ..utils.layout import put_table
+    # pad stored (N, 12) rows to (N, 16) at upload (12-wide rows misalign
+    # the (8,128) TPU tile; the npz cache keeps the compact 12-wide form),
+    # then PACK-8 everything (utils/layout.pack_table): unpadded HBM AND
+    # burst-path row gathers (docs/ROUND3.md)
+    import jax
+
+    from ..utils.layout import pack_table
     t16 = np.zeros((sc.test12.shape[0], 16), np.float32)
     t16[:, :12] = sc.test12[:, :12]
     hf = sc.h_frac
     if hf.shape[0] and bool((hf == hf[0]).all()):
         hf = hf[:1]   # uniform layer spacing: one shared row
     q = QuantizedCells(
-        test12=put_table(t16),
-        h_frac=put_table(np.ascontiguousarray(hf)),
-        value_q=put_table(sc.value_q),
-        alpha_q=put_table(np.zeros(sc.value_q.shape, np.uint8)),
+        test12=jax.device_put(pack_table(t16)),
+        h_frac=jax.device_put(np.ascontiguousarray(hf)),
+        value_q=jax.device_put(pack_table(sc.value_q)),
+        alpha_q=jax.device_put(pack_table(
+            np.zeros(sc.value_q.shape, np.uint8))),
         value_lo=jnp.float32(sc.value_lo), value_hi=jnp.float32(sc.value_hi),
         alpha_max=jnp.float32(1.0),
     )
@@ -245,15 +247,17 @@ def build_locator_csr_from_scene(sc: QuantScene, dims=None,
 
     cache_key: npz-caches the dense bins under the scene cache dir (the
     R2B9 binning pass is ~10 min of host work per bench run)."""
+    import jax
     import jax.numpy as jnp
     from ..models.locator import Locator, build_locator_csr, densify_csr
-    from ..utils.layout import put_table
+    from ..utils.layout import pack_table
 
     path = (os.path.join(_CACHE_DIR, f"qloc_{cache_key}.npz")
             if cache_key and dims is None else None)
     if path and os.path.exists(path):
         z = np.load(path)
-        loc = Locator(bins=put_table(z["bins"]),
+        loc = Locator(bins=jax.device_put(pack_table(z["bins"],
+                                                     pad_value=-1)),
                       lat_lo=jnp.float32(z["lat_lo"]),
                       lat_hi=jnp.float32(z["lat_hi"]),
                       lon_lo=jnp.float32(z["lon_lo"]),

@@ -33,7 +33,11 @@ F = np.float32
 
 
 class Locator(NamedTuple):
-    bins: jnp.ndarray      # (n_lat * n_lon, K) i32 cell ids, -1 padded
+    bins: jnp.ndarray      # (n_lat * n_lon, K) i32 cell ids, -1 padded.
+                           # densify_csr emits the PACK-8 row layout
+                           # ((n_bins/f, f*K), utils/layout.pack_table) —
+                           # quantized-tier consumers gather via
+                           # packed_gather(bins, bid, k_cap)
     lat_lo: jnp.ndarray    # () f32
     lat_hi: jnp.ndarray    # () f32
     lon_lo: jnp.ndarray    # () f32
@@ -182,8 +186,10 @@ def densify_csr(loc: LocatorCSR, k_cap: int) -> Locator:
         slot = np.arange(pos.shape[0], dtype=np.int64) - pos
         ok = slot < k_cap
         bins[binid[ok], slot[ok]] = items[:pos.shape[0]][ok]
-    from ..utils.layout import put_table
-    return Locator(bins=put_table(bins),
+    import jax
+
+    from ..utils.layout import pack_table
+    return Locator(bins=jax.device_put(pack_table(bins, pad_value=-1)),
                    lat_lo=loc.lat_lo, lat_hi=loc.lat_hi,
                    lon_lo=loc.lon_lo, lon_hi=loc.lon_hi, dims=loc.dims)
 

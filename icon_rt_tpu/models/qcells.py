@@ -46,12 +46,20 @@ F = np.float32
 
 
 class QuantizedCells(NamedTuple):
-    test12: jnp.ndarray    # (N, 16) f32: n1 n2 n3 (9) + h_bot h_top nl + pad
-    h_frac: jnp.ndarray    # (N, Lm) u16; (1, Lm) when all columns share
-                           # the layer spacing (synthetic/uniform grids —
-                           # saves 2.7 GB at R2B9; consumers clamp-index)
-    value_q: jnp.ndarray   # (N, Lm) u8
-    alpha_q: jnp.ndarray   # (N, Lm) u8
+    """All 2-D tables are PACK-8 row layouts (utils/layout.pack_table):
+    logical (N, W) rows stored as (N/f, f*W) with f*W = 128 lanes — zero
+    HBM padding AND burst-path row gathers (docs/ROUND3.md).  Logical
+    row widths: test12 16, value_q/alpha_q/h_frac Lm."""
+    test12: jnp.ndarray    # packed (N, 16) f32: 3 normals + h_bot h_top nl
+    h_frac: jnp.ndarray    # UNPACKED (N, Lm) u16 — or (1, Lm) when all
+                           # columns share the layer spacing (uniform
+                           # grids — saves 2.7 GB at R2B9).  Stays
+                           # unpacked so lm is recoverable from its shape
+                           # (packed widths are ambiguous); the padded
+                           # layout only costs on small real-terrain
+                           # scenes, the big synthetic tiers dedup
+    value_q: jnp.ndarray   # packed (N, Lm) u8
+    alpha_q: jnp.ndarray   # packed (N, Lm) u8
     value_lo: jnp.ndarray  # () f32
     value_hi: jnp.ndarray  # () f32
     alpha_max: jnp.ndarray  # () f32 dequant scale for alpha_q
@@ -67,10 +75,14 @@ class QuantizedCells(NamedTuple):
 
     @property
     def num_cells(self) -> int:
-        return self.test12.shape[0]
+        """Cell capacity incl. pack padding (pad rows are all-zero)."""
+        return self.test12.shape[0] * (self.test12.shape[1] // 16)
 
     @property
     def lm(self) -> int:
+        # h_frac is always stored unpacked ((N, Lm) or dedup (1, Lm)),
+        # so its width is the authoritative logical layer count — packed
+        # widths (f*Lm = 128) would be ambiguous
         return self.h_frac.shape[1]
 
 
@@ -146,14 +158,16 @@ def quantize_cells(ds: ICDataset, lm: int | None = None,
                          * (np.float32(255.0) / np.float32(hi - lo))),
                  0, 255).astype(np.uint8)
 
-    from ..utils.layout import put_table
+    import jax
+
+    from ..utils.layout import pack_table
     if n and bool((hf == hf[0]).all()):
         hf = hf[:1]   # uniform layer spacing: one shared row
     return QuantizedCells(
-        test12=put_table(test12),
-        h_frac=put_table(hf),
-        value_q=put_table(vq),
-        alpha_q=put_table(np.zeros((n, lm), np.uint8)),
+        test12=jax.device_put(pack_table(test12)),
+        h_frac=jax.device_put(np.ascontiguousarray(hf)),
+        value_q=jax.device_put(pack_table(vq)),
+        alpha_q=jax.device_put(pack_table(np.zeros((n, lm), np.uint8))),
         value_lo=jnp.float32(lo), value_hi=jnp.float32(hi),
         alpha_max=jnp.float32(1.0),
     )
@@ -199,22 +213,22 @@ def bake_alpha_q(q: QuantizedCells, tf: Transfunc,
     tab_host = np.asarray(q_tab)
     if q.alpha_tab is not None and np.array_equal(tab_host, q.alpha_tab):
         return q._replace(alpha_max=a_max)
-    # the lookup preserves value_q's committed (transposed, unpadded)
-    # layout on the output: a row-major (N, 16) u8/s32 array tiles to
-    # (8,128)/(32,128) lanes on TPU — an 8x pad that is 10-43 GB at R2B9
-    # and OOMed the r2b9q bench (utils/layout.py, docs/ROUND2.md)
+    # tables are pack-8 row layouts (plain device layout), so the lookup
+    # is a straight elementwise gather — no layout gymnastics needed
     if q.value_q.size > (1 << 27):
         # R2B9-scale: the device bake's compile gets OOM-killed on the
-        # remote compile host; a host-side fancy-index over the u8 table
-        # plus an unpadded re-upload works and TF edits at 84M cells are
-        # not interactive anyway (recorded in the bench).  Pass
-        # value_q_host (e.g. the QuantScene's array) to skip the slow
-        # D2H pull of the transposed device table.
-        from ..utils.layout import put_table
-        vq = value_q_host if value_q_host is not None \
-            else np.asarray(q.value_q)
-        alpha_np = tab_host[vq]
-        alpha_q = put_table(alpha_np)
+        # remote compile host (retried round 3, still SIGKILL); a
+        # host-side fancy-index over the u8 table plus a re-upload works
+        # and TF edits at 84M cells are not interactive anyway (recorded
+        # in the bench).  Pass value_q_host (the QuantScene's UNPACKED
+        # array) to skip the slow D2H pull of the device table.
+        import jax
+
+        from ..utils.layout import pack_table
+        if value_q_host is not None:
+            alpha_q = jax.device_put(pack_table(tab_host[value_q_host]))
+        else:
+            alpha_q = jax.device_put(tab_host[np.asarray(q.value_q)])
     else:
         alpha_q = _bake_lookup(q.value_q, q_tab)
     return q._replace(alpha_q=alpha_q, alpha_max=a_max, alpha_tab=tab_host)
@@ -224,34 +238,22 @@ _BAKE_CACHE: dict = {}
 
 
 def _bake_lookup(vq, tab):
-    """tab[vq] elementwise, jitted with the output committed to vq's
-    format (keeps big tables in the unpadded transposed layout).
-
-    The lookup walks vq in its PHYSICAL ({0,1}) order — transpose,
-    flatten, gather in bounded flat slices, transpose back.  A naive
-    tab[vq.astype(i32)] makes XLA relayout the (N, 16) s32 index
-    intermediate to padded row-major (43 GB at R2B9 — the exact compile
-    OOM this replaces); the flat slices bound the s32 temp at ~256 MB."""
+    """tab[vq] elementwise over the packed (N/f, 128) u8 table, in bounded
+    flat slices (the naive whole-array form makes a full-size s32 index
+    temp — 5.4 GB at R2B9)."""
     def body(v, t):
-        n, lm = v.shape
-        vt = v.T.reshape(-1)
+        n, w = v.shape
+        vt = v.reshape(-1)
         ch = min(1 << 26, int(vt.shape[0])) or 1
         pad = (-int(vt.shape[0])) % ch
         if pad:
             vt = jnp.concatenate([vt, jnp.zeros(pad, v.dtype)])
         out = jax.lax.map(lambda c: t[c.astype(jnp.int32)],
                           vt.reshape(-1, ch))
-        return out.reshape(-1)[:n * lm].reshape(lm, n).T
+        return out.reshape(-1)[:n * w].reshape(n, w)
 
-    key = getattr(vq, "format", None)
-    fn = _BAKE_CACHE.get(key)
+    fn = _BAKE_CACHE.get("bake")
     if fn is None:
-        kw = {}
-        if key is not None:
-            try:
-                kw = {"out_shardings": key}
-            except Exception:
-                kw = {}
-        fn = jax.jit(body, **kw)
-        _BAKE_CACHE[key] = fn
+        fn = jax.jit(body)
+        _BAKE_CACHE["bake"] = fn
     return fn(vq, tab)

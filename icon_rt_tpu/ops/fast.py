@@ -193,6 +193,17 @@ def pack_cells_wedge(cells: Cells, tf: Transfunc) -> PackedCells:
 # ===========================================================================
 
 class _State(NamedTuple):
+    """Per-lane tracking state.
+
+    The column cache is TWO-WAY (slots 0/1) with an MRU selector: a
+    Woodcock sample tests both cached columns with pure arithmetic before
+    parking as `pending`, and the refresh fills the LRU slot.  Why two
+    slots: consecutive in-lane-batched samples traverse the SAME 1-2
+    columns (measured pend_events/ray = 1.12 at R2B9), so with caches
+    preserved across sample restarts (batch_loop.retire) nearly every
+    per-sample locator refresh — the dominant frame cost, 438 ns/lane of
+    giant-table gathers at R2B9 vs 0.4 ns/lane-step of arithmetic —
+    becomes a cache hit (docs/ROUND3.md)."""
     t: jnp.ndarray          # f32 current parameter
     seg_end: jnp.ndarray    # f32 current band segment exit
     seg_hi: jnp.ndarray     # f32 current shell segment end
@@ -201,12 +212,17 @@ class _State(NamedTuple):
     m: jnp.ndarray          # f32 current majorant
     si: jnp.ndarray         # i32 shell segment index (0 or 1)
     pending: jnp.ndarray    # i32 sample at t awaits the outer refresh
-    c_test: jnp.ndarray     # (L, 16) packed test row
-    c_prof: jnp.ndarray     # (L, 64) packed profile row (h | alpha)
-    c_cid: jnp.ndarray      # i32 cached column's cell id (shade-time RGB)
+    c_test: jnp.ndarray     # (L, 16) packed test row, slot 0
+    c_prof: jnp.ndarray     # (L, 64) packed profile row (h | alpha), slot 0
+    c_cid: jnp.ndarray      # i32 slot 0 column's cell id (shade-time RGB)
+    c_valid: jnp.ndarray    # i32 slot 0 holds a real column
+    c_test2: jnp.ndarray    # (L, 16) slot 1 test row
+    c_prof2: jnp.ndarray    # (L, 64) slot 1 profile row
+    c_cid2: jnp.ndarray     # i32 slot 1 cell id
+    c_valid2: jnp.ndarray   # i32 slot 1 holds a real column
+    c_mru: jnp.ndarray      # i32 most-recently-containing slot (0/1)
     c_hit: jnp.ndarray      # i32 refresh found the point's column
     in_eval: jnp.ndarray    # i32 lane is in EVAL phase
-    c_valid: jnp.ndarray    # i32 cache holds some real column
     rng: jnp.ndarray        # u32
     alpha: jnp.ndarray      # f32 accepted sample's classified alpha (0 = none)
     done: jnp.ndarray       # i32
@@ -366,21 +382,34 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
     seg_end_n, was_in_n = _band_exit_from(t_adv, r_lo_n, r_hi_n, shi_n,
                                           c.od, oo)
 
-    # -- sample classification ------------------------------------------------
+    # -- sample classification: test BOTH cache slots (arithmetic only) -----
     samp_new = stepped & ~overshoot
     px = ox + c.dx * t_new
     py = oy + c.dy * t_new
     pz = oz + c.dz * t_new
     if flat_vert:
-        coord = (px * s.c_test[:, 16] + py * s.c_test[:, 17]
-                 + pz * s.c_test[:, 18])
+        coord0 = (px * s.c_test[:, 16] + py * s.c_test[:, 17]
+                  + pz * s.c_test[:, 18])
+        coord1 = (px * s.c_test2[:, 16] + py * s.c_test2[:, 17]
+                  + pz * s.c_test2[:, 18])
     else:
-        coord = _r_of(t_new, c.od, oo)
-    in_cache = samp_new & (s.c_valid != 0) \
-        & _point_in_test_row(s.c_test, px, py, pz, coord)
+        coord0 = _r_of(t_new, c.od, oo)
+        coord1 = coord0
+    in0 = samp_new & (s.c_valid != 0) \
+        & _point_in_test_row(s.c_test, px, py, pz, coord0)
+    in1 = samp_new & (s.c_valid2 != 0) \
+        & _point_in_test_row(s.c_test2, px, py, pz, coord1)
+    in_cache = in0 | in1
+    mru1 = s.c_mru != 0
+    # prefer the MRU slot when both claim the point (f32 boundary ties)
+    use1 = jnp.where(mru1, in1, in1 & ~in0)
     to_pending = samp_new & ~in_cache
+    # EVAL lanes read the slot the refresh just filled (it set c_mru)
+    sel1 = jnp.where(in_eval, mru1, use1)
     hit_vol = in_cache | (in_eval & (s.c_hit != 0))
-    aa = _alpha_at(s.c_prof, coord, ml, a_off)
+    aa0 = _alpha_at(s.c_prof, coord0, ml, a_off)
+    aa1 = _alpha_at(s.c_prof2, coord1, ml, a_off)
+    aa = jnp.where(sel1, aa1, aa0)
     rng2, uu = lcg_next(rng_a)
     rng_b = jnp.where(hit_vol, rng2, rng_a)
     accept = hit_vol & (aa >= uu * s.m)
@@ -397,9 +426,12 @@ def step_core(s: _State, c: _Consts, edges, majors, org, oo, ud,
         si=jnp.where(to_seg1, 1, s.si),
         pending=i32((s.pending != 0) | to_pending),
         c_test=s.c_test, c_prof=s.c_prof, c_cid=s.c_cid,
+        c_valid=s.c_valid,
+        c_test2=s.c_test2, c_prof2=s.c_prof2, c_cid2=s.c_cid2,
+        c_valid2=s.c_valid2,
+        c_mru=jnp.where(in_cache, use1.astype(jnp.int32), s.c_mru),
         c_hit=i32((~in_eval) & (s.c_hit != 0)),
         in_eval=i32((~in_eval) & ((s.in_eval != 0) | to_pending)),
-        c_valid=s.c_valid,
         rng=rng_b,
         alpha=jnp.where(accept, aa, s.alpha),
         done=i32(done_n),
@@ -478,8 +510,12 @@ def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
         pending=zero_i,
         c_test=jnp.zeros((L, test_w), F32),
         c_prof=jnp.full((L, prof_w), jnp.float32(np.inf), F32),
-        c_cid=zero_i,
-        c_hit=zero_i, in_eval=zero_i, c_valid=zero_i,
+        c_cid=zero_i, c_valid=zero_i,
+        c_test2=jnp.zeros((L, test_w), F32),
+        c_prof2=jnp.full((L, prof_w), jnp.float32(np.inf), F32),
+        c_cid2=zero_i, c_valid2=zero_i,
+        c_mru=zero_i,
+        c_hit=zero_i, in_eval=zero_i,
         rng=rng,
         alpha=jnp.zeros(L, F32),
         done=(~(wrote & (seg_hi > seg_lo))).astype(jnp.int32),
@@ -488,20 +524,17 @@ def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
     return state, consts, wrote
 
 
-def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
-             org, oo, flat_vert: bool = False) -> _State:
-    """Batched locator query for pending lanes; refreshes column caches.
-    The only gathers in the render loop (bins + test rows + profile row).
-    flat_vert: candidate containment uses the per-candidate flat-face
-    coordinate instead of the radius (fast wedge tier)."""
-    ox, oy, oz = org
+def _locate(loc: Locator, packed: PackedCells, px, py, pz, r, pend,
+            flat_vert: bool = False):
+    """Locator query core on (M,) position arrays — the only gathers in
+    the render loop (bins row + candidate test rows + winner profile row).
+    Shared by the dense refresh (M = L) and the compacted refresh (M = P
+    pending lanes); identical arithmetic either way, so the two paths
+    produce bit-identical column data.  flat_vert: candidate containment
+    uses the per-candidate flat-face coordinate instead of the radius
+    (fast wedge tier).  Returns (new_test, prow, cid, hit)."""
     n_lat = loc.dims[0]
     n_lon = loc.dims[1]
-    pend = s.pending != 0
-    px = ox + c.dx * s.t
-    py = oy + c.dy * s.t
-    pz = oz + c.dz * s.t
-    r = _r_of(s.t, c.od, oo)
     lat = jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0))
     lon = jnp.arctan2(py, px)
     bl = jnp.clip(((lat - loc.lat_lo) / (loc.lat_hi - loc.lat_lo)
@@ -509,10 +542,10 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
     bo = jnp.clip(((lon - loc.lon_lo) / (loc.lon_hi - loc.lon_lo)
                    * n_lon.astype(F32)).astype(jnp.int32), 0, n_lon - 1)
     bid = jnp.where(pend, bl * n_lon + bo, 0)
-    cand = loc.bins[bid]                             # (L, K) gather
+    cand = loc.bins[bid]                             # (M, K) gather
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
-    trows = packed.test[safe]                        # (L, K, 16|32) gather
+    trows = packed.test[safe]                        # (M, K, 16|32) gather
     ev1 = (trows[..., 0] * px[:, None] + trows[..., 1] * py[:, None]
            + trows[..., 2] * pz[:, None] - trows[..., 3])
     ev2 = (trows[..., 4] * px[:, None] + trows[..., 5] * py[:, None]
@@ -532,24 +565,122 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
     k_oh = (jnp.arange(cand.shape[1])[None, :] == slot[:, None])
     cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
     new_test = jnp.sum(jnp.where(k_oh[..., None], trows, 0.0), axis=1)
-    prow = packed.prof[jnp.where(pend & hit, cid, 0)]  # (L, 64) gather
+    prow = packed.prof[jnp.where(pend & hit, cid, 0)]  # (M, 64) gather
+    return new_test, prow, cid, hit
 
-    upd_hit = pend & hit
+
+def _fill_slots(s: _State, upd_hit, new_test, prow, cid) -> _State:
+    """Install located columns into the LRU cache slot of upd_hit lanes
+    and mark that slot MRU (dense-refresh application, all-lane where)."""
+    f1 = s.c_mru == 0           # slot 0 is MRU -> fill slot 1
+    w0 = upd_hit & ~f1
+    w1 = upd_hit & f1
+    i32 = lambda b: b.astype(jnp.int32)
     return s._replace(
         pending=jnp.zeros_like(s.pending),
-        c_test=jnp.where(upd_hit[:, None], new_test, s.c_test),
-        c_prof=jnp.where(upd_hit[:, None], prow, s.c_prof),
-        c_cid=jnp.where(upd_hit, cid, s.c_cid),
+        c_test=jnp.where(w0[:, None], new_test, s.c_test),
+        c_prof=jnp.where(w0[:, None], prow, s.c_prof),
+        c_cid=jnp.where(w0, cid, s.c_cid),
+        c_valid=i32((s.c_valid != 0) | w0),
+        c_test2=jnp.where(w1[:, None], new_test, s.c_test2),
+        c_prof2=jnp.where(w1[:, None], prow, s.c_prof2),
+        c_cid2=jnp.where(w1, cid, s.c_cid2),
+        c_valid2=i32((s.c_valid2 != 0) | w1),
+        c_mru=jnp.where(upd_hit, f1.astype(jnp.int32), s.c_mru),
         c_hit=upd_hit.astype(jnp.int32),
-        c_valid=((s.c_valid != 0) | upd_hit).astype(jnp.int32),
     )
+
+
+def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
+             org, oo, flat_vert: bool = False) -> _State:
+    """Dense batched locator refresh: every lane's gathers execute (with
+    row-0 dummies for non-pending lanes — measured no cheaper than all
+    pending, docs/ROUND3.md), so use _refresh_compact when pending lanes
+    are sparse."""
+    ox, oy, oz = org
+    pend = s.pending != 0
+    px = ox + c.dx * s.t
+    py = oy + c.dy * s.t
+    pz = oz + c.dz * s.t
+    r = _r_of(s.t, c.od, oo)
+    new_test, prow, cid, hit = _locate(loc, packed, px, py, pz, r, pend,
+                                       flat_vert)
+    return _fill_slots(s, pend & hit, new_test, prow, cid)
+
+
+def _compact_service(s: _State, c: _Consts, locate_fn, org, oo, P: int
+                     ) -> _State:
+    """Serve up to P pending lanes with narrow (P, ·) gathers + row
+    scatters back into the cache slots.  Measured ~10x cheaper than the
+    dense refresh at R2B9 when <= 5% of lanes are pending (the steady
+    state once caches persist across samples; docs/ROUND3.md).  Lanes
+    beyond P stay pending and are served at the next service point — but
+    the adaptive wrapper (_make_refresh) only takes this path when
+    count <= P, so in practice every pending lane is served and the
+    cadence (and output bits) match the dense path exactly.
+
+    locate_fn(px, py, pz, r, pend) -> (new_test, prow, cid, hit) on (P,)
+    arrays — _locate or the quantized tier's _locate_q partial."""
+    L = s.t.shape[0]
+    pend = s.pending != 0
+    cnt = jnp.sum(pend.astype(jnp.int32))
+    idx = jnp.nonzero(pend, size=P, fill_value=L - 1)[0]
+    ok = jnp.arange(P) < cnt
+    tt = s.t[idx]
+    dx = c.dx[idx]
+    dy = c.dy[idx]
+    dz = c.dz[idx]
+    od = c.od[idx]
+    ox, oy, oz = org
+    px = ox + dx * tt
+    py = oy + dy * tt
+    pz = oz + dz * tt
+    r = jnp.sqrt(jnp.maximum(oo + 2.0 * tt * od + tt * tt, 1e-30))
+    new_test, prow, cid, hit = locate_fn(px, py, pz, r, ok)
+    upd = ok & hit
+    drop = jnp.int32(L)         # out-of-bounds scatter index -> dropped
+    f1 = s.c_mru[idx] == 0      # per-lane LRU slot choice
+    idx0 = jnp.where(upd & ~f1, idx, drop)
+    idx1 = jnp.where(upd & f1, idx, drop)
+    idx_ok = jnp.where(ok, idx, drop)
+    return s._replace(
+        pending=s.pending.at[idx_ok].set(0),
+        c_test=s.c_test.at[idx0].set(new_test),
+        c_prof=s.c_prof.at[idx0].set(prow),
+        c_cid=s.c_cid.at[idx0].set(cid),
+        c_valid=s.c_valid.at[idx0].set(1),
+        c_test2=s.c_test2.at[idx1].set(new_test),
+        c_prof2=s.c_prof2.at[idx1].set(prow),
+        c_cid2=s.c_cid2.at[idx1].set(cid),
+        c_valid2=s.c_valid2.at[idx1].set(1),
+        c_mru=s.c_mru.at[jnp.where(upd, idx, drop)].set(
+            f1.astype(jnp.int32)),
+        c_hit=s.c_hit.at[idx_ok].set(upd.astype(jnp.int32)),
+    )
+
+
+def _make_refresh(dense_fn, locate_fn, org, oo, refresh_compact: int):
+    """Adaptive refresh: dense when pending lanes are many (> the compact
+    capacity), compacted otherwise.  refresh_compact == 0 disables the
+    compact path (always dense)."""
+    if refresh_compact <= 0:
+        return lambda s, c: dense_fn(s, c)
+
+    def refresh(s, c):
+        return jax.lax.cond(
+            jnp.sum((s.pending != 0).astype(jnp.int32)) > refresh_compact,
+            lambda ss: dense_fn(ss, c),
+            lambda ss: _compact_service(ss, c, locate_fn, org, oo,
+                                        refresh_compact),
+            s)
+    return refresh
 
 
 def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 bands: RadialBands, lp, xs, ys, width: int, height: int,
                 steps_per_refresh: int = 8, max_outer: int = 16384,
                 return_cost: bool = False, sampler: str = "locator",
-                outer_unroll: int = 1):
+                outer_unroll: int = 1, refresh_compact: int = 0):
     """One progressive sample for a batch of pixels.
 
     lp: ops.render.LaunchParams.  xs, ys: (L,) i32 pixel coords.
@@ -577,8 +708,11 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                                       edges, majors, oo, nb,
                                       test_w=packed.test.shape[1])
 
-    def refresh(s: _State) -> _State:
-        return _refresh(s, consts, loc, packed, org, oo, flat_vert=fv)
+    refresh = _make_refresh(
+        lambda s, c: _refresh(s, c, loc, packed, org, oo, flat_vert=fv),
+        lambda px, py, pz, r, pend: _locate(loc, packed, px, py, pz, r,
+                                            pend, flat_vert=fv),
+        org, oo, refresh_compact)
 
     def inner_phase(s: _State) -> _State:
         # Python-unrolled on purpose: a lax.fori_loop would make every step
@@ -603,7 +737,8 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         # only run up to outer_unroll-1 extra no-op phases at the tail.
         s, it, fin = carry
         for _ in range(outer_unroll):
-            s = jax.lax.cond(jnp.any(s.pending != 0), refresh,
+            s = jax.lax.cond(jnp.any(s.pending != 0),
+                             lambda x: refresh(x, consts),
                              lambda x: x, s)
             s = inner_phase(s)
             it = it + 1
@@ -627,7 +762,7 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 
 def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
                samples: int, max_outer: int = 16384,
-               outer_unroll: int = 1):
+               outer_unroll: int = 1, preserve_cache: bool = True):
     """Generic in-lane sample-batching wavefront loop (shared by the f32
     and quantized tiers).
 
@@ -676,6 +811,22 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
         samp2 = jnp.where(comp, q["samp"] + 1, q["samp"])
         more = comp & (samp2 < S)
         ns, nc, nw = init(samp2)
+        # restarted lanes KEEP their column caches (preserve_cache):
+        # consecutive samples traverse the same 1-2 columns, so the
+        # preserved slots turn the per-sample locator refresh (the
+        # dominant gather cost at scale) into an arithmetic cache hit.
+        # The cached rows are exactly what a refresh at the same point
+        # would fetch, so the estimator is unchanged; outputs can differ
+        # from the sequential single-sample path only on f32 boundary
+        # ties between adjacent columns (a point exactly on a shared
+        # plane "belongs" to both).  preserve_cache=False restores the
+        # strict bit-exact-vs-sequential contract for tests.
+        if preserve_cache:
+            ns = ns._replace(
+                c_test=s.c_test, c_prof=s.c_prof, c_cid=s.c_cid,
+                c_valid=s.c_valid,
+                c_test2=s.c_test2, c_prof2=s.c_prof2, c_cid2=s.c_cid2,
+                c_valid2=s.c_valid2, c_mru=s.c_mru)
         pick = lambda n, o: jnp.where(
             more[(...,) + (None,) * (n.ndim - 1)] if n.ndim > 1 else more,
             n, o)
@@ -729,7 +880,8 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, xs, ys, width: int, height: int,
                       accum0, fb0, samples: int,
                       steps_per_refresh: int = 8, max_outer: int = 16384,
-                      sampler: str = "locator", outer_unroll: int = 1):
+                      sampler: str = "locator", outer_unroll: int = 1,
+                      refresh_compact: int = 0, preserve_cache: bool = True):
     """`samples` progressive samples per lane in ONE wavefront loop — the
     f32-tier instantiation of batch_loop (see its docstring)."""
     fv = sampler == "wedge"
@@ -746,8 +898,11 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
                            accum_id=lp.accum_id + samp,
                            test_w=packed.test.shape[1])
 
-    def refresh(s, c):
-        return _refresh(s, c, loc, packed, org, oo, flat_vert=fv)
+    refresh = _make_refresh(
+        lambda s, c: _refresh(s, c, loc, packed, org, oo, flat_vert=fv),
+        lambda px, py, pz, r, pend: _locate(loc, packed, px, py, pz, r,
+                                            pend, flat_vert=fv),
+        org, oo, refresh_compact)
 
     def shade(s, c):
         return _shade(s, c, packed.rgb, lp, oo, flat_vert=fv)
@@ -759,22 +914,28 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
         return s
 
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
-                      samples, max_outer, outer_unroll)
+                      samples, max_outer, outer_unroll, preserve_cache)
 
 
 def _shade(s: _State, c: _Consts, rgb_table, lp, oo, flat_vert: bool = False):
     """Composite color of a finished lane (ref: deviceCode.cu:333-340):
-    classified RGB of the accepted sample x ambient, binary alpha."""
+    classified RGB of the accepted sample x ambient, binary alpha.  An
+    accepting lane's c_mru points at the slot that held the collided
+    column (step_core marks the containing slot MRU before freezing)."""
     got = s.alpha > 0.0
-    rgb_rows = rgb_table[jnp.where(got, s.c_cid, 0)]   # (L, 96) gather
+    mru1 = s.c_mru != 0
+    cid = jnp.where(mru1, s.c_cid2, s.c_cid)
+    prof = jnp.where(mru1[:, None], s.c_prof2, s.c_prof)
+    rgb_rows = rgb_table[jnp.where(got, cid, 0)]       # (L, 96) gather
     ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
     if flat_vert:
-        coord = ((ox + c.dx * s.t) * s.c_test[:, 16]
-                 + (oy + c.dy * s.t) * s.c_test[:, 17]
-                 + (oz + c.dz * s.t) * s.c_test[:, 18])
+        test = jnp.where(mru1[:, None], s.c_test2, s.c_test)
+        coord = ((ox + c.dx * s.t) * test[:, 16]
+                 + (oy + c.dy * s.t) * test[:, 17]
+                 + (oz + c.dz * s.t) * test[:, 18])
     else:
         coord = _r_of(s.t, c.od, oo)
-    rr, gg, bb = _rgb_at(rgb_rows, s.c_prof, coord)
+    rr, gg, bb = _rgb_at(rgb_rows, prof, coord)
     amb_r = lp.ambient_color[0] * lp.ambient_radiance
     amb_g = lp.ambient_color[1] * lp.ambient_radiance
     amb_b = lp.ambient_color[2] * lp.ambient_radiance
@@ -788,7 +949,8 @@ def _shade(s: _State, c: _Consts, rgb_table, lp, oo, flat_vert: bool = False):
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
                                     "chunk", "n_active", "return_cost",
-                                    "samples", "sampler", "outer_unroll"),
+                                    "samples", "sampler", "outer_unroll",
+                                    "refresh_compact", "preserve_cache"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
@@ -798,7 +960,9 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       return_cost: bool = False,
                       samples: int = 1,
                       sampler: str = "locator",
-                      outer_unroll: int = 1):
+                      outer_unroll: int = 1,
+                      refresh_compact: int = 0,
+                      preserve_cache: bool = True):
     """Full-frame progressive step on the fast path (drop-in peer of
     render_frame_ae / render_frame_accel).
 
@@ -844,7 +1008,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
             lambda xs, ys, a0, f0: render_fast_batch(
                 cells, packed, loc, bands, lp, xs, ys, width, height,
                 a0, f0, samples, steps_per_refresh, sampler=sampler,
-                outer_unroll=outer_unroll),
+                outer_unroll=outer_unroll, refresh_compact=refresh_compact,
+                preserve_cache=preserve_cache),
             xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
         if n_proc == total:
             return accum_head, fb_head
@@ -855,7 +1020,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
         return render_fast(cells, packed, loc, bands, lp, xs, ys,
                            width, height, steps_per_refresh,
                            return_cost=return_cost, sampler=sampler,
-                           outer_unroll=outer_unroll)
+                           outer_unroll=outer_unroll,
+                           refresh_compact=refresh_compact)
 
     if n_proc <= chunk:
         out = run(xs_all, ys_all)

@@ -30,7 +30,8 @@ from ..models.locator import Locator
 from ..models.qcells import QuantizedCells
 from ..models.shells import RadialBands
 from ..models.transfunc import Transfunc, post_classify
-from .fast import F32, _Consts, _State, _init_lanes, batch_loop, step_core
+from .fast import (F32, _Consts, _State, _fill_slots, _init_lanes,
+                   _make_refresh, batch_loop, step_core)
 
 __all__ = ["render_fast_q", "render_frame_fast_q"]
 
@@ -46,27 +47,25 @@ def _expand_test16(t12):
          t12[:, 9:12], z], axis=1)
 
 
-def _refresh_q(s: _State, c: _Consts, loc: Locator, q: QuantizedCells,
-               k_cap: int, org, oo) -> _State:
-    """Batched dense-locator query + dequantizing cache fill for pending
-    lanes.  Gathers: one (L, K) candidate ROW gather, (L, K, 16) test
-    rows, and the winner's h/alpha/value rows.
+def _locate_q(loc: Locator, q: QuantizedCells, k_cap: int,
+              px, py, pz, r, pend):
+    """Quantized-tier locator query core on (M,) position arrays: dense
+    candidate rows + dequantizing profile build.  Shared by the dense
+    refresh (M = L) and the compacted refresh (M = P); identical
+    arithmetic either way.  Returns (test16, prof, cid, hit).
 
-    Round-2 rework (docs/ROUND2.md): this was a CSR walk
-    (starts/counts gathers + a 1-D k_cap-per-lane items gather); XLA:TPU
-    lowers 1-D gathers to scalar loads (~39 ns/element measured), which
-    alone cost ~half the frame.  Dense candidate rows + 16-wide test rows
-    (12-wide rows misalign the (8,128) tile and fetch ~5x slower per
-    element) brought the tier from 0.32 to f32-parity Mray/s."""
-    ox, oy, oz = org
+    All tables are PACK-8 row layouts (utils/layout.pack_table): gathers
+    are aligned 128-wide bursts + arithmetic subrow selects.  The round-2
+    committed-transposed layout was measured at ~27 ns/row inside the
+    render loop (a strided per-element walk — the dominant cost of the
+    whole r2b9 frame); packed bursts run ~5x faster (docs/ROUND3.md).
+    Earlier history: a CSR walk was reverted in round 2 because its 1-D
+    candidate gather lowers to scalar loads (~39 ns/element,
+    docs/ROUND2.md)."""
+    from ..utils.layout import packed_gather
     lm = q.lm
     n_lat = loc.dims[0]
     n_lon = loc.dims[1]
-    pend = s.pending != 0
-    px = ox + c.dx * s.t
-    py = oy + c.dy * s.t
-    pz = oz + c.dz * s.t
-    r = jnp.sqrt(jnp.maximum(oo + 2.0 * s.t * c.od + s.t * s.t, 1e-30))
     lat = jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0))
     lon = jnp.arctan2(py, px)
     bl = jnp.clip(((lat - loc.lat_lo) / (loc.lat_hi - loc.lat_lo)
@@ -74,10 +73,10 @@ def _refresh_q(s: _State, c: _Consts, loc: Locator, q: QuantizedCells,
     bo = jnp.clip(((lon - loc.lon_lo) / (loc.lon_hi - loc.lon_lo)
                    * n_lon.astype(F32)).astype(jnp.int32), 0, n_lon - 1)
     bid = jnp.where(pend, bl * n_lon + bo, 0)
-    cand = loc.bins[bid]                             # (L, K) row gather
+    cand = packed_gather(loc.bins, bid, k_cap)       # (M, K)
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
-    trows = q.test12[safe]                           # (L, K, 16) gather
+    trows = packed_gather(q.test12, safe, 16)        # (M, K, 16)
     ev1 = (trows[..., 0] * px[:, None] + trows[..., 1] * py[:, None]
            + trows[..., 2] * pz[:, None])
     ev2 = (trows[..., 3] * px[:, None] + trows[..., 4] * py[:, None]
@@ -92,31 +91,40 @@ def _refresh_q(s: _State, c: _Consts, loc: Locator, q: QuantizedCells,
     k_oh = (jnp.arange(cand.shape[1])[None, :] == slot[:, None])
     cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
     t12 = jnp.sum(jnp.where(k_oh[..., None], trows[..., :12], 0.0),
-                  axis=1)                            # (L, 12)
+                  axis=1)                            # (M, 12)
 
     cid2 = jnp.where(pend & hit, cid, 0)
     h_bot = t12[:, 9]
     h_top = t12[:, 10]
     nl = t12[:, 11].astype(jnp.int32)
-    # clamp-index: h_frac may be the deduplicated (1, Lm) shared row
+    # h_frac stays unpacked: (1, Lm) dedup shared row (clamp-index) or
+    # (N, Lm) plain on small real-terrain scenes
     hf = q.h_frac[jnp.minimum(cid2, q.h_frac.shape[0] - 1)].astype(F32)
     heights = h_bot[:, None] + hf * ((h_top - h_bot)[:, None]
                                      * jnp.float32(1.0 / 65535.0))
     k1 = jax.lax.broadcasted_iota(jnp.int32, heights.shape, 1) + 1
     heights = jnp.where(k1 <= nl[:, None], heights, jnp.float32(np.inf))
-    aa = q.alpha_q[cid2].astype(F32) * (q.alpha_max / 255.0)  # (L, Lm)
-    vv = q.value_lo + q.value_q[cid2].astype(F32) \
-        * ((q.value_hi - q.value_lo) / 255.0)                 # (L, Lm)
-    prof = jnp.concatenate([heights, aa, vv], axis=1)         # (L, 3*Lm)
+    aa = packed_gather(q.alpha_q, cid2, lm).astype(F32) \
+        * (q.alpha_max / 255.0)                               # (M, Lm)
+    vv = q.value_lo + packed_gather(q.value_q, cid2, lm).astype(F32) \
+        * ((q.value_hi - q.value_lo) / 255.0)                 # (M, Lm)
+    prof = jnp.concatenate([heights, aa, vv], axis=1)         # (M, 3*Lm)
+    return _expand_test16(t12), prof, cid2, hit
 
-    upd_hit = pend & hit
-    return s._replace(
-        pending=jnp.zeros_like(s.pending),
-        c_test=jnp.where(upd_hit[:, None], _expand_test16(t12), s.c_test),
-        c_prof=jnp.where(upd_hit[:, None], prof, s.c_prof),
-        c_hit=upd_hit.astype(jnp.int32),
-        c_valid=((s.c_valid != 0) | upd_hit).astype(jnp.int32),
-    )
+
+def _refresh_q(s: _State, c: _Consts, loc: Locator, q: QuantizedCells,
+               k_cap: int, org, oo) -> _State:
+    """Dense batched locator refresh + dequantizing cache fill (every
+    lane's gathers execute; see ops/fast._refresh for when to prefer the
+    compacted path)."""
+    ox, oy, oz = org
+    pend = s.pending != 0
+    px = ox + c.dx * s.t
+    py = oy + c.dy * s.t
+    pz = oz + c.dz * s.t
+    r = jnp.sqrt(jnp.maximum(oo + 2.0 * s.t * c.od + s.t * s.t, 1e-30))
+    test16, prof, cid, hit = _locate_q(loc, q, k_cap, px, py, pz, r, pend)
+    return _fill_slots(s, pend & hit, test16, prof, cid)
 
 
 def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, oo, lm: int):
@@ -125,12 +133,14 @@ def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, oo, lm: int):
     deviceCode.cu:333-340; RGB classify at shade time replaces the f32
     path's baked per-layer RGB)."""
     got = s.alpha > 0.0
+    # the accepting lane's c_mru points at the collided column's slot
+    prof = jnp.where((s.c_mru != 0)[:, None], s.c_prof2, s.c_prof)
     r = jnp.sqrt(jnp.maximum(oo + 2.0 * s.t * c.od + s.t * s.t, 1e-30))
-    hh = s.c_prof[:, :lm]
+    hh = prof[:, :lm]
     layer = jnp.sum((r[:, None] > hh).astype(jnp.int32), axis=1)
     ids = jax.lax.broadcasted_iota(jnp.int32, (hh.shape[0], lm), 1)
     oh = (ids == layer[:, None]).astype(F32)
-    v = jnp.sum(oh * s.c_prof[:, 2 * lm:3 * lm], axis=1)      # (L,)
+    v = jnp.sum(oh * prof[:, 2 * lm:3 * lm], axis=1)          # (L,)
     rgba = post_classify(tf, v)                               # (L, 4) gather
     amb_r = lp.ambient_color[0] * lp.ambient_radiance
     amb_g = lp.ambient_color[1] * lp.ambient_radiance
@@ -146,7 +156,7 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                   bands: RadialBands, tf: Transfunc, lp, xs, ys,
                   width: int, height: int, steps_per_refresh: int = 8,
                   max_outer: int = 16384, return_cost: bool = False,
-                  outer_unroll: int = 1):
+                  outer_unroll: int = 1, refresh_compact: int = 0):
     """One progressive sample for a batch of pixels on the quantized tier.
     Returns (wrote (L,) bool, color_alpha (L, 4) f32) [+ per-lane cost
     (outer iterations to completion) when return_cost]."""
@@ -163,8 +173,11 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
     init, consts, wrote = _init_lanes(lp, xs, ys, width, height,
                                       edges, majors, oo, nb, prof_w=3 * lm)
 
-    def refresh(s: _State) -> _State:
-        return _refresh_q(s, consts, loc, q, k_cap, org, oo)
+    refresh = _make_refresh(
+        lambda s, c: _refresh_q(s, c, loc, q, k_cap, org, oo),
+        lambda px, py, pz, r, pend: _locate_q(loc, q, k_cap, px, py, pz,
+                                              r, pend),
+        org, oo, refresh_compact)
 
     def inner_phase(s: _State) -> _State:
         # Python-unrolled so XLA fuses all steps into one kernel per outer
@@ -182,7 +195,8 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
         # unrolled; see ops/fast.render_fast (bit-identical cadence)
         s, it, fin = carry
         for _ in range(outer_unroll):
-            s = jax.lax.cond(jnp.any(s.pending != 0), refresh,
+            s = jax.lax.cond(jnp.any(s.pending != 0),
+                             lambda x: refresh(x, consts),
                              lambda x: x, s)
             s = inner_phase(s)
             it = it + 1
@@ -202,7 +216,8 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                         bands: RadialBands, tf: Transfunc, lp, xs, ys,
                         width: int, height: int, accum0, fb0, samples: int,
                         steps_per_refresh: int = 8, max_outer: int = 16384,
-                        outer_unroll: int = 1):
+                        outer_unroll: int = 1, refresh_compact: int = 0,
+                        preserve_cache: bool = True):
     """`samples` progressive samples per lane in ONE wavefront loop — the
     quantized-tier instantiation of ops/fast.batch_loop."""
     nb = bands.num_bands
@@ -218,8 +233,11 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
         return _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
                            prof_w=3 * lm, accum_id=lp.accum_id + samp)
 
-    def refresh(s, c):
-        return _refresh_q(s, c, loc, q, k_cap, org, oo)
+    refresh = _make_refresh(
+        lambda s, c: _refresh_q(s, c, loc, q, k_cap, org, oo),
+        lambda px, py, pz, r, pend: _locate_q(loc, q, k_cap, px, py, pz,
+                                              r, pend),
+        org, oo, refresh_compact)
 
     def shade(s, c):
         return _shade_q(s, c, lp, tf, oo, lm)
@@ -231,14 +249,15 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
         return s
 
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
-                      samples, max_outer, outer_unroll)
+                      samples, max_outer, outer_unroll, preserve_cache)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "steps_per_refresh",
                                     "chunk", "k_cap", "n_active",
                                     "return_cost", "samples",
-                                    "outer_unroll"),
+                                    "outer_unroll", "refresh_compact",
+                                    "preserve_cache"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                         bands: RadialBands, tf: Transfunc, lp, accum, fb, *,
@@ -247,7 +266,9 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                         n_active: int | None = None,
                         return_cost: bool = False,
                         samples: int = 1,
-                        outer_unroll: int = 1):
+                        outer_unroll: int = 1,
+                        refresh_compact: int = 0,
+                        preserve_cache: bool = True):
     """Full-frame progressive step on the quantized tier — drop-in peer of
     ops/fast.render_frame_fast (same pixel_perm / n_active / return_cost /
     samples contract)."""
@@ -271,7 +292,8 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
             lambda xs, ys, a0, f0: render_fast_q_batch(
                 q, loc, k_cap, bands, tf, lp, xs, ys, width, height,
                 a0, f0, samples, steps_per_refresh,
-                outer_unroll=outer_unroll),
+                outer_unroll=outer_unroll, refresh_compact=refresh_compact,
+                preserve_cache=preserve_cache),
             xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
         if n_proc == total:
             return accum_head, fb_head
@@ -282,7 +304,8 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
         return render_fast_q(q, loc, k_cap, bands, tf, lp, xs, ys,
                              width, height, steps_per_refresh,
                              return_cost=return_cost,
-                             outer_unroll=outer_unroll)
+                             outer_unroll=outer_unroll,
+                             refresh_compact=refresh_compact)
 
     if n_proc <= chunk:
         out = run(xs_all, ys_all)

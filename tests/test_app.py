@@ -60,10 +60,13 @@ def test_app_xf_roundtrip(tmp_path):
     lut = np.tile(np.array([[1, 0, 0, 1.0]], np.float32), (8, 1))
     save_xf(xf, 1.0, (0.0, 1.0), (0.0, 1.0), lut)
     out = str(tmp_path / "red")
+    # presented PNGs composite over --bgcolor (alpha forced opaque, like
+    # the reference's cleared window) — use a black clear so traced
+    # coverage is detectable by brightness
     _run(["--synthetic", "1:2", "--sample-limit", "2", "--size", "24", "24",
-          "-o", out, "--xf", xf])
+          "-o", out, "--xf", xf, "--bgcolor", "0", "0", "0"])
     img = read_png(out + ".png")
-    cov = img[..., 3] > 0
+    cov = img[..., :3].sum(axis=-1) > 0
     assert cov.any()
     # fully red, fully opaque TF -> covered pixels are red-ish
     assert img[cov][:, 0].mean() > img[cov][:, 1].mean() + 50

@@ -26,11 +26,14 @@ def _exact():
 
 
 def test_matches_exact_quantization():
+    from icon_rt_tpu.utils.layout import unpack_table
+
     ds, ds_q, q_exact = _exact()
     sc = synth_quantized(SUBDIV, LAYERS)
     assert sc.num_cells == ds.num_cells
     # geometry: f32 vs f64 subdivision -> tiny relative differences
-    t_a = np.asarray(q_exact.test12)
+    # (device tables are pack-8 rows — unpack for comparison)
+    t_a = unpack_table(q_exact.test12, 16, ds.num_cells)
     t_b = sc.test12
     # q_exact.test12 is tile-padded to 16 wide; compare the 12 real columns
     np.testing.assert_allclose(t_b[:, 9:12], t_a[:, 9:12], rtol=1e-6)
@@ -48,7 +51,8 @@ def test_matches_exact_quantization():
                                    sc.h_frac.shape))
     # values: within one quantization level (f32 field eval differences)
     dv = np.abs(sc.value_q.astype(int)
-                - np.asarray(q_exact.value_q).astype(int))
+                - unpack_table(q_exact.value_q, sc.h_frac.shape[1],
+                               ds.num_cells).astype(int))
     assert dv.max() <= 1
     assert (dv > 0).mean() < 0.05
     assert sc.value_lo == pytest.approx(float(q_exact.value_lo), rel=1e-5)

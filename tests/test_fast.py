@@ -154,8 +154,11 @@ def test_adaptive_reorder_bit_identical():
 
 
 def test_batched_samples_bit_identical():
-    """samples=S in one call must equal S sequential samples=1 calls
-    bit-for-bit (same per-sample RNG seeds, same accumulate() lerp order)."""
+    """samples=S with preserve_cache=False must equal S sequential
+    samples=1 calls bit-for-bit (same per-sample RNG seeds, same
+    accumulate() lerp order).  The default preserve_cache=True may differ
+    on f32 boundary ties between adjacent columns (batch_loop docstring)
+    — asserted tie-rare below."""
     from icon_rt_tpu.ops.order import pixel_order
 
     ds = synthetic.icosphere(subdivisions=2, num_layers=5)
@@ -192,10 +195,24 @@ def test_batched_samples_bit_identical():
                                lp._replace(accum_id=jnp.int32(1)),
                                a2, f2, width=W, height=H, chunk=256,
                                pixel_perm=permj, n_active=n_active,
-                               samples=4)
+                               samples=4, preserve_cache=False)
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1))
     assert (np.asarray(f1) != 0).any()
+
+    # default (cache-preserving) batch: identical except boundary ties
+    a3, f3 = alloc_frame(W, H)
+    a3, f3 = render_frame_fast(cells, packed, loc, bands,
+                               lp._replace(accum_id=jnp.int32(0)),
+                               a3, f3, width=W, height=H, chunk=256,
+                               pixel_perm=permj, n_active=n_active)
+    a3, f3 = render_frame_fast(cells, packed, loc, bands,
+                               lp._replace(accum_id=jnp.int32(1)),
+                               a3, f3, width=W, height=H, chunk=256,
+                               pixel_perm=permj, n_active=n_active,
+                               samples=4)
+    diff = (np.asarray(f3) != np.asarray(f1)).mean()
+    assert diff <= 0.02, diff
 
 
 def test_outer_unroll_bit_identical():
@@ -225,3 +242,34 @@ def test_outer_unroll_bit_identical():
                                    outer_unroll=4)
         np.testing.assert_array_equal(np.asarray(f4), np.asarray(f1))
         np.testing.assert_array_equal(np.asarray(a4), np.asarray(a1))
+
+
+def test_refresh_compact_bit_identical():
+    """refresh_compact=P serves pending lanes with narrow gathers + row
+    scatters (dense fallback when count > P).  _locate arithmetic is
+    shared with the dense refresh and every pending lane is served at
+    each service point, so accum/fb must be bit-identical."""
+    from icon_rt_tpu.ops.render import alloc_frame, make_launch_params
+
+    W = H = 24
+    ds, stats, cam = _scene()
+    cells = build_cells(ds)
+    loc = build_locator(ds)
+    tf = make_transfunc(value_range=tuple(stats.data_range), size=32)
+    bands = update_band_majorants(build_radial_bands(ds, 16),
+                                  tf.values, tf.value_range)
+    packed = pack_cells(cells, tf)
+    cam.set_aspect(W / H)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=5.0)
+    for samples in (1, 3):
+        a1, f1 = render_frame_fast(cells, packed, loc, bands, lp,
+                                   *alloc_frame(W, H), width=W, height=H,
+                                   samples=samples, chunk=128)
+        ac, fc = render_frame_fast(cells, packed, loc, bands, lp,
+                                   *alloc_frame(W, H), width=W, height=H,
+                                   samples=samples, chunk=128,
+                                   refresh_compact=32)
+        np.testing.assert_array_equal(np.asarray(fc), np.asarray(f1))
+        np.testing.assert_array_equal(np.asarray(ac), np.asarray(a1))
+        assert (np.asarray(f1) != 0).any()

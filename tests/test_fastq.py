@@ -167,7 +167,8 @@ def test_batched_samples_bit_identical_q(scene):
     a2, f2 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf,
                                  lp._replace(accum_id=jnp.int32(0)),
                                  *alloc_frame(W, H), width=W, height=H,
-                                 chunk=512, samples=4)
+                                 chunk=512, samples=4,
+                                 preserve_cache=False)
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=0,
                                atol=2.5e-7)
@@ -224,3 +225,26 @@ def test_outer_unroll_bit_identical_q(scene):
                                  samples=3, chunk=128, outer_unroll=4)
     np.testing.assert_array_equal(np.asarray(f4), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(a4), np.asarray(a1))
+
+
+def test_refresh_compact_bit_identical_q(scene):
+    """Quantized-tier peer of test_fast.test_refresh_compact_bit_identical
+    (shared _compact_service machinery, tier-specific _locate_q)."""
+    W = H = 24
+    ds_q, stats, tf, q, loc, k_cap, bands = scene
+    cam = Camera()
+    cam.set_aspect(W / H)
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    for samples in (1, 3):
+        a1, f1 = render_frame_fast_q(q, loc, k_cap, bands, tf, lp,
+                                     *alloc_frame(W, H), width=W, height=H,
+                                     samples=samples, chunk=128)
+        ac, fc = render_frame_fast_q(q, loc, k_cap, bands, tf, lp,
+                                     *alloc_frame(W, H), width=W, height=H,
+                                     samples=samples, chunk=128,
+                                     refresh_compact=32)
+        np.testing.assert_array_equal(np.asarray(fc), np.asarray(f1))
+        np.testing.assert_array_equal(np.asarray(ac), np.asarray(a1))
+        assert (np.asarray(f1) != 0).any()
