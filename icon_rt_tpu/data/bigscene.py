@@ -222,12 +222,15 @@ def to_device(sc: QuantScene):
     hf = sc.h_frac
     if hf.shape[0] and bool((hf == hf[0]).all()):
         hf = hf[:1]   # uniform layer spacing: one shared row
+    n_cells, lm = sc.value_q.shape
+    flm = max(1, 128 // lm)
     q = QuantizedCells(
         test12=jax.device_put(pack_table(t16)),
         h_frac=jax.device_put(np.ascontiguousarray(hf)),
         value_q=jax.device_put(pack_table(sc.value_q)),
-        alpha_q=jax.device_put(pack_table(
-            np.zeros(sc.value_q.shape, np.uint8))),
+        # alpha starts all-zero: allocate ON device (an uploaded zeros
+        # table is ~5 min of relay time at R2B9 for nothing)
+        alpha_q=jnp.zeros((-(-n_cells // flm), flm * lm), jnp.uint8),
         value_lo=jnp.float32(sc.value_lo), value_hi=jnp.float32(sc.value_hi),
         alpha_max=jnp.float32(1.0),
     )

@@ -213,15 +213,13 @@ def bake_alpha_q(q: QuantizedCells, tf: Transfunc,
     tab_host = np.asarray(q_tab)
     if q.alpha_tab is not None and np.array_equal(tab_host, q.alpha_tab):
         return q._replace(alpha_max=a_max)
-    # tables are pack-8 row layouts (plain device layout), so the lookup
-    # is a straight elementwise gather — no layout gymnastics needed
-    if q.value_q.size > (1 << 27):
-        # R2B9-scale: the device bake's compile gets OOM-killed on the
-        # remote compile host (retried round 3, still SIGKILL); a
-        # host-side fancy-index over the u8 table plus a re-upload works
-        # and TF edits at 84M cells are not interactive anyway (recorded
-        # in the bench).  Pass value_q_host (the QuantScene's UNPACKED
-        # array) to skip the slow D2H pull of the device table.
+    try:
+        alpha_q = _bake_lookup(q.value_q, q_tab)
+        alpha_q.block_until_ready()
+    except Exception:
+        # remote-compile or HBM fallback: fancy-index on the host and
+        # re-upload (slow through the relay — value_q_host skips the
+        # D2H pull of the device table)
         import jax
 
         from ..utils.layout import pack_table
@@ -229,8 +227,6 @@ def bake_alpha_q(q: QuantizedCells, tf: Transfunc,
             alpha_q = jax.device_put(pack_table(tab_host[value_q_host]))
         else:
             alpha_q = jax.device_put(tab_host[np.asarray(q.value_q)])
-    else:
-        alpha_q = _bake_lookup(q.value_q, q_tab)
     return q._replace(alpha_q=alpha_q, alpha_max=a_max, alpha_tab=tab_host)
 
 
@@ -238,19 +234,29 @@ _BAKE_CACHE: dict = {}
 
 
 def _bake_lookup(vq, tab):
-    """tab[vq] elementwise over the packed (N/f, 128) u8 table, in bounded
-    flat slices (the naive whole-array form makes a full-size s32 index
-    temp — 5.4 GB at R2B9)."""
+    """tab[vq] elementwise over the packed u8 table, WITHOUT a gather: a
+    fused (v == k) * tab_k compare-select reduce over the 256 levels.  A
+    real gather here is poison both ways on TPU — from the (256,) table
+    it lowers to per-element SCALAR loads (~39 ns each, docs/ROUND2.md),
+    and an s32 index temp over the whole table is gigabytes.  The
+    select-reduce is pure VPU arithmetic; HBM traffic is read + write of
+    the u8 table once (~3 GB/s of wall at R2B9 scale, i.e. ~1 s), which
+    is what makes R2B9 TF edits interactive (round-3 verdict item 4)."""
     def body(v, t):
         n, w = v.shape
-        vt = v.reshape(-1)
-        ch = min(1 << 26, int(vt.shape[0])) or 1
-        pad = (-int(vt.shape[0])) % ch
+        rows = max(1, min(n, (1 << 21) // max(w, 1)))
+        pad = (-n) % rows
         if pad:
-            vt = jnp.concatenate([vt, jnp.zeros(pad, v.dtype)])
-        out = jax.lax.map(lambda c: t[c.astype(jnp.int32)],
-                          vt.reshape(-1, ch))
-        return out.reshape(-1)[:n * w].reshape(n, w)
+            v = jnp.concatenate([v, jnp.zeros((pad, w), v.dtype)])
+        lev = jnp.arange(256, dtype=jnp.int32)
+        ti = t.astype(jnp.int32)
+
+        def chunk(c):
+            m = c.astype(jnp.int32)[..., None] == lev
+            return jnp.sum(jnp.where(m, ti, 0), axis=-1).astype(jnp.uint8)
+
+        out = jax.lax.map(chunk, v.reshape(-1, rows, w))
+        return out.reshape(-1, w)[:n]
 
     fn = _BAKE_CACHE.get("bake")
     if fn is None:
