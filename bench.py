@@ -164,16 +164,19 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
     total = WIDTH * HEIGHT
     n_traced = min(total, -(-max(n_active, 1) // chunk) * chunk)
 
+    compact = int(os.environ.get("BENCH_COMPACT", "2048"))
+
     def step(s, accum, fb):
-        # spp progressive samples per call via in-lane batching — result is
-        # bit-identical to spp sequential samples=1 calls (tested), so the
-        # per-SAMPLE throughput below is the honest progressive-frame rate
+        # spp progressive samples per call via in-lane batching — the
+        # default cache-preserving batch differs from spp sequential
+        # samples=1 calls only on f32 boundary ties (tested tie-rare), so
+        # the per-SAMPLE throughput below is the honest progressive rate
         return render_frame_fast(cells, packed, locator, bands,
                                  lp._replace(accum_id=jnp.int32(s)),
                                  accum, fb, width=WIDTH, height=HEIGHT,
                                  pixel_perm=perm, n_active=n_active,
                                  chunk=chunk, steps_per_refresh=spr,
-                                 samples=spp)
+                                 samples=spp, refresh_compact=compact)
 
     accum, fb = step(0, accum, fb)
     float((np.asarray(fb)[inv] != 0).mean())  # warm + sync
@@ -197,7 +200,8 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
                                    *alloc_frame(WIDTH, HEIGHT),
                                    width=WIDTH, height=HEIGHT,
                                    pixel_perm=perm, n_active=n_active,
-                                   chunk=chunk, steps_per_refresh=spr)
+                                   chunk=chunk, steps_per_refresh=spr,
+                                   refresh_compact=compact)
         np.asarray(f2)  # materialize: edit-to-PRESENTED-frame
 
     tf_edit(0.9)  # warm the edit path's compiled artifacts
@@ -220,20 +224,32 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
 def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                 chunk: int, spr: int, spp: int) -> dict:
     """Quantized-tier row (the single-chip north-star scale: R2B9 @1080p).
-    Same camera/metrics contract as bench_row."""
-    from icon_rt_tpu.data.bigscene import (build_locator_csr_from_scene,
-                                           synth_quantized_cached, to_device)
+    Same camera/metrics contract as bench_row.
+
+    The scene is generated ON the device (data/device_scene.py — seconds
+    of TPU compute instead of ~35 min of relay upload) and alpha is baked
+    on device; only the locator table is uploaded (npz-cached binning)."""
+    import os as _os
+
+    from icon_rt_tpu.data.bigscene import (_CACHE_DIR,
+                                           build_locator_csr_from_scene,
+                                           synth_quantized_cached)
+    from icon_rt_tpu.data.device_scene import synth_quantized_device
     from icon_rt_tpu.models.qcells import bake_alpha_q
     from icon_rt_tpu.ops.fastq import render_frame_fast_q
 
-    sc = synth_quantized_cached(subdiv, num_layers)
-    tf = make_transfunc(value_range=tuple(sc.stats.data_range))
-    q, bands = to_device(sc)
-    q = bake_alpha_q(q, tf, value_q_host=sc.value_q)
-    bands = update_band_majorants(bands, tf.values, tf.value_range)
-    loc, k_cap = build_locator_csr_from_scene(
-        sc, cache_key=f"s{subdiv}_l{num_layers}")
-    stats = sc.stats
+    dsc = synth_quantized_device(subdiv, num_layers)
+    stats = dsc.stats
+    tf = make_transfunc(value_range=tuple(stats.data_range))
+    q = bake_alpha_q(dsc.cells, tf)
+    bands = update_band_majorants(dsc.bands, tf.values, tf.value_range)
+    cache_key = f"s{subdiv}_l{num_layers}"
+    sc = None
+    if not _os.path.exists(_os.path.join(_CACHE_DIR,
+                                         f"qloc_{cache_key}.npz")):
+        sc = synth_quantized_cached(subdiv, num_layers)  # binning needs lat/lon
+    loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key)
+    n_cells = 20 * 4 ** subdiv
     cam = _camera(stats, framing)
     unit_distance = 10.0 ** (np.floor(
         np.log10(stats.spherical_bounds_lo[0])) - 3)
@@ -248,13 +264,15 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     total = WIDTH * HEIGHT
     n_traced = min(total, -(-max(n_active, 1) // chunk) * chunk)
 
+    compact = int(os.environ.get("BENCH_COMPACT", "2048"))
+
     def step(s, accum, fb):
         return render_frame_fast_q(q, loc, k_cap, bands, tf,
                                    lp._replace(accum_id=jnp.int32(s)),
                                    accum, fb, width=WIDTH, height=HEIGHT,
                                    pixel_perm=perm, n_active=n_active,
                                    chunk=chunk, steps_per_refresh=spr,
-                                   samples=spp)
+                                   samples=spp, refresh_compact=compact)
 
     accum, fb = step(0, accum, fb)
     float((np.asarray(fb)[inv] != 0).mean())  # warm + sync
@@ -263,27 +281,31 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                                  spp, inv)
     iters = iters * spp   # samples rendered per timed window
 
-    # TF edit on the quantized tier: 256-entry table bake + u8 table
-    # lookup over (N, Lm) + band majorants + one frame
-    def tf_edit(scale):
-        tf2 = tf._replace(opacity_scale=jnp.float32(scale))
-        q2 = bake_alpha_q(q, tf2, value_q_host=sc.value_q)
+    # TF edit on the quantized tier: 256-entry table bake + DEVICE u8
+    # select-reduce rewrite over (N, Lm) + band majorants + one frame.
+    # The LUT values change between edits (not just opacity_scale) so the
+    # unchanged-table fast path cannot hide the rewrite cost.
+    def tf_edit(gain, scale):
+        tf2 = tf._replace(values=tf.values * jnp.float32(gain),
+                          opacity_scale=jnp.float32(scale))
+        q2 = bake_alpha_q(q, tf2)
         bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
         a2, f2 = render_frame_fast_q(q2, loc, k_cap, bands2, tf2,
                                      lp._replace(accum_id=jnp.int32(0)),
                                      *alloc_frame(WIDTH, HEIGHT),
                                      width=WIDTH, height=HEIGHT,
                                      pixel_perm=perm, n_active=n_active,
-                                     chunk=chunk, steps_per_refresh=spr)
+                                     chunk=chunk, steps_per_refresh=spr,
+                                     refresh_compact=compact)
         np.asarray(f2)
 
-    tf_edit(0.9)
+    tf_edit(0.95, 0.9)
     t0 = time.perf_counter()
-    tf_edit(0.8)
+    tf_edit(0.9, 0.8)
     dt_edit = time.perf_counter() - t0
 
     return {
-        "cells": int(sc.num_cells),
+        "cells": n_cells,
         "framing": framing + "/quantized",
         "coverage": round(cov, 3),
         "mray_full": round(total * iters / dt / 1e6, 2),

@@ -570,9 +570,19 @@ def _locate(loc: Locator, packed: PackedCells, px, py, pz, r, pend,
 
 
 def _fill_slots(s: _State, upd_hit, new_test, prow, cid) -> _State:
-    """Install located columns into the LRU cache slot of upd_hit lanes
-    and mark that slot MRU (dense-refresh application, all-lane where)."""
-    f1 = s.c_mru == 0           # slot 0 is MRU -> fill slot 1
+    """Install located columns of upd_hit lanes: slot 0 is PINNED to the
+    lane's first-ever column, later fills go to slot 1.
+
+    Why entry-pinning beats LRU here: Woodcock tracking is monotonic in
+    t, so within one sample an evicted column is never revisited — but
+    across in-lane sample RESTARTS (batch_loop) the ray re-enters the
+    shell at the same t0 and its first tracking point almost always lands
+    back in the entry column.  Under LRU the walk evicted it, so every
+    restart paid a full ~19-row locator event; measured at R2B9 this made
+    ~2.7k lanes pend per phase, forcing 117/143 refreshes onto the DENSE
+    path (docs/ROUND3.md).  Pinning the entry column makes restarts a
+    pure cache hit and leaves only genuine mid-walk column changes."""
+    f1 = s.c_valid != 0         # slot 0 taken -> fill slot 1
     w0 = upd_hit & ~f1
     w1 = upd_hit & f1
     i32 = lambda b: b.astype(jnp.int32)
@@ -639,7 +649,7 @@ def _compact_service(s: _State, c: _Consts, locate_fn, org, oo, P: int
     new_test, prow, cid, hit = locate_fn(px, py, pz, r, ok)
     upd = ok & hit
     drop = jnp.int32(L)         # out-of-bounds scatter index -> dropped
-    f1 = s.c_mru[idx] == 0      # per-lane LRU slot choice
+    f1 = s.c_valid[idx] != 0    # entry-pin policy (see _fill_slots)
     idx0 = jnp.where(upd & ~f1, idx, drop)
     idx1 = jnp.where(upd & f1, idx, drop)
     idx_ok = jnp.where(ok, idx, drop)
