@@ -670,19 +670,34 @@ def _compact_service(s: _State, c: _Consts, locate_fn, org, oo, P: int
 
 
 def _make_refresh(dense_fn, locate_fn, org, oo, refresh_compact: int):
-    """Adaptive refresh: dense when pending lanes are many (> the compact
-    capacity), compacted otherwise.  refresh_compact == 0 disables the
-    compact path (always dense)."""
+    """Adaptive multi-tier refresh: serve the pending lanes with the
+    SMALLEST compact capacity that fits them (refresh_compact, 2x, 4x, ...
+    doubling until the full lane width), falling back to the dense path
+    only when more than half the lanes pend.  Compact cost is linear in
+    the capacity (~0.65 us/lane at R2B9, docs/ROUND3.md) while the dense
+    path always pays every lane, so tier choice ~= paying only for actual
+    pending work rounded up to a power of two.  Every tier serves ALL
+    pending lanes (the guard guarantees count <= capacity), so cadence
+    and output bits are identical across tiers and to the dense path.
+    refresh_compact == 0 disables the compact path (always dense)."""
     if refresh_compact <= 0:
         return lambda s, c: dense_fn(s, c)
 
     def refresh(s, c):
-        return jax.lax.cond(
-            jnp.sum((s.pending != 0).astype(jnp.int32)) > refresh_compact,
-            lambda ss: dense_fn(ss, c),
-            lambda ss: _compact_service(ss, c, locate_fn, org, oo,
-                                        refresh_compact),
-            s)
+        lanes_n = s.t.shape[0]
+        cnt = jnp.sum((s.pending != 0).astype(jnp.int32))
+        tiers = []
+        p = refresh_compact
+        while p < lanes_n:
+            tiers.append(p)
+            p *= 2
+        fn = lambda ss: dense_fn(ss, c)
+        for p in reversed(tiers):
+            fn = (lambda p_, nxt: lambda ss: jax.lax.cond(
+                cnt <= p_,
+                lambda s2: _compact_service(s2, c, locate_fn, org, oo, p_),
+                nxt, ss))(p, fn)
+        return fn(s)
     return refresh
 
 
