@@ -72,6 +72,11 @@ def parse_app_args(argv):
         elif a == "--quantized":
             # R2B9 tier: u16/u8 cell tables + CSR locator (models/qcells.py)
             cfg["quantized"] = True
+        elif a == "--finemap":
+            # two-stage locate shortcut on the quantized tier
+            # (models/finemap.py); exact, so default-on is planned once
+            # its build cost is amortized in the viewer session
+            cfg["finemap"] = True
         i += 1
     return cfg
 
@@ -232,6 +237,10 @@ def build(argv):
             struct["q"] = quantize_cells(ds_q, value_range=(lo, hi))
             csr, k_cap = build_locator_csr(ds_q)
             struct["loc_csr"] = (densify_csr(csr, k_cap), k_cap)
+            if cfg.get("finemap"):
+                from icon_rt_tpu.models.finemap import build_finemap
+                struct["fm"] = build_finemap(struct["loc_csr"][0],
+                                             struct["q"].test12, k_cap)
         if struct.get("q_tf") is not device["tf"]:
             struct["q"] = bake_alpha_q(struct["q"], device["tf"])
             struct["q_tf"] = device["tf"]
@@ -326,7 +335,7 @@ def build(argv):
                     qc, loc_csr, k_cap, get_bands(), device["tf"], lp,
                     frame["accum"], frame["fb"],
                     width=W, height=H, pixel_perm=frame["perm"],
-                    n_active=frame["n_active"])
+                    n_active=frame["n_active"], finemap=struct.get("fm"))
             elif sampler == "wedge":
                 # mode 2 on the fast raygen: the gather-free wedge tier
                 # (live toggle peer of hostCode.cu:151-168)

@@ -249,6 +249,15 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                          f"qloc_{cache_key}.npz")):
         sc = synth_quantized_cached(subdiv, num_layers)  # binning needs lat/lon
     loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key)
+    fm = None
+    fm_factor = int(os.environ.get("BENCH_FINEMAP", "2"))
+    if fm_factor > 0:
+        from icon_rt_tpu.models.finemap import build_finemap
+        t0 = time.perf_counter()
+        fm = build_finemap(loc, q.test12, k_cap, factor=fm_factor)
+        np.asarray(fm.dims)
+        print(f"# finemap x{fm_factor} built in "
+              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True)
     n_cells = 20 * 4 ** subdiv
     cam = _camera(stats, framing)
     unit_distance = 10.0 ** (np.floor(
@@ -272,7 +281,8 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                    accum, fb, width=WIDTH, height=HEIGHT,
                                    pixel_perm=perm, n_active=n_active,
                                    chunk=chunk, steps_per_refresh=spr,
-                                   samples=spp, refresh_compact=compact)
+                                   samples=spp, refresh_compact=compact,
+                                   finemap=fm)
 
     accum, fb = step(0, accum, fb)
     float((np.asarray(fb)[inv] != 0).mean())  # warm + sync
@@ -296,7 +306,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                      width=WIDTH, height=HEIGHT,
                                      pixel_perm=perm, n_active=n_active,
                                      chunk=chunk, steps_per_refresh=spr,
-                                     refresh_compact=compact)
+                                     refresh_compact=compact, finemap=fm)
         np.asarray(f2)
 
     tf_edit(0.95, 0.9)

@@ -601,6 +601,33 @@ def _fill_slots(s: _State, upd_hit, new_test, prow, cid) -> _State:
     )
 
 
+def _fill_slots_partial(s: _State, pend, upd_hit, new_test, prow, cid
+                        ) -> _State:
+    """Two-stage primary fill: like _fill_slots, but lanes the primary
+    could NOT resolve (pend & ~upd_hit — fine-map misses or points
+    outside the volume) KEEP their pending flag and their c_hit, so the
+    authoritative second-stage full locate serves them.  Lanes the
+    primary resolved are indistinguishable from a full-locate fill (the
+    containing column is unique up to f32 boundary ties)."""
+    f1 = s.c_valid != 0
+    w0 = upd_hit & ~f1
+    w1 = upd_hit & f1
+    i32 = lambda b: b.astype(jnp.int32)
+    return s._replace(
+        pending=i32(pend & ~upd_hit),
+        c_test=jnp.where(w0[:, None], new_test, s.c_test),
+        c_prof=jnp.where(w0[:, None], prow, s.c_prof),
+        c_cid=jnp.where(w0, cid, s.c_cid),
+        c_valid=i32((s.c_valid != 0) | w0),
+        c_test2=jnp.where(w1[:, None], new_test, s.c_test2),
+        c_prof2=jnp.where(w1[:, None], prow, s.c_prof2),
+        c_cid2=jnp.where(w1, cid, s.c_cid2),
+        c_valid2=i32((s.c_valid2 != 0) | w1),
+        c_mru=jnp.where(upd_hit, f1.astype(jnp.int32), s.c_mru),
+        c_hit=jnp.where(upd_hit, 1, s.c_hit),
+    )
+
+
 def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
              org, oo, flat_vert: bool = False) -> _State:
     """Dense batched locator refresh: every lane's gathers execute (with
@@ -669,7 +696,8 @@ def _compact_service(s: _State, c: _Consts, locate_fn, org, oo, P: int
     )
 
 
-def _make_refresh(dense_fn, locate_fn, org, oo, refresh_compact: int):
+def _make_refresh(dense_fn, locate_fn, org, oo, refresh_compact: int,
+                  primary_fn=None):
     """Adaptive multi-tier refresh: serve the pending lanes with the
     SMALLEST compact capacity that fits them (refresh_compact, 2x, 4x, ...
     doubling until the full lane width), falling back to the dense path
@@ -679,24 +707,50 @@ def _make_refresh(dense_fn, locate_fn, org, oo, refresh_compact: int):
     pending work rounded up to a power of two.  Every tier serves ALL
     pending lanes (the guard guarantees count <= capacity), so cadence
     and output bits are identical across tiers and to the dense path.
-    refresh_compact == 0 disables the compact path (always dense)."""
-    if refresh_compact <= 0:
+    refresh_compact == 0 disables the compact path (always dense).
+
+    primary_fn(s, c) -> s: optional cheap FIRST stage (the fine-map
+    locate, models/finemap.py) run dense over all lanes; it resolves most
+    pending lanes (~51 vs ~395 ns/lane at R2B9) and leaves the rest
+    pending for the full-locate tiers below.  With a primary the final
+    tier is compact-at-full-width instead of the dense path: the dense
+    fill rewrites every lane's cache state, which would clobber the
+    columns the primary just installed (scatter-based compact fills only
+    touch the lanes they serve)."""
+    if refresh_compact <= 0 and primary_fn is None:
         return lambda s, c: dense_fn(s, c)
 
     def refresh(s, c):
         lanes_n = s.t.shape[0]
+        if primary_fn is not None:
+            s = primary_fn(s, c)
         cnt = jnp.sum((s.pending != 0).astype(jnp.int32))
         tiers = []
-        p = refresh_compact
+        # with a primary, stage-2 only sees the primary's misses —
+        # structurally far fewer than the phase's pending count — so the
+        # tier ladder starts at a small fixed capacity instead of the
+        # caller's (pending-count-scaled) refresh_compact
+        p = 128 if primary_fn is not None else max(refresh_compact, 128)
         while p < lanes_n:
             tiers.append(p)
             p *= 2
-        fn = lambda ss: dense_fn(ss, c)
+        if primary_fn is not None:
+            tiers.append(lanes_n)
+            fn = lambda ss: ss
+            guard = lambda p_: (cnt <= p_) if p_ != lanes_n \
+                else (cnt > 0)
+        else:
+            fn = lambda ss: dense_fn(ss, c)
+            guard = lambda p_: cnt <= p_
         for p in reversed(tiers):
             fn = (lambda p_, nxt: lambda ss: jax.lax.cond(
-                cnt <= p_,
+                guard(p_),
                 lambda s2: _compact_service(s2, c, locate_fn, org, oo, p_),
                 nxt, ss))(p, fn)
+        if primary_fn is not None:
+            # the primary often resolves everything; the caller's
+            # any-pending guard ran BEFORE the primary, so re-check
+            return jax.lax.cond(cnt > 0, fn, lambda ss: ss, s)
         return fn(s)
     return refresh
 

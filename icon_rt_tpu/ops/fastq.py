@@ -74,6 +74,18 @@ def _locate_q(loc: Locator, q: QuantizedCells, k_cap: int,
                    * n_lon.astype(F32)).astype(jnp.int32), 0, n_lon - 1)
     bid = jnp.where(pend, bl * n_lon + bo, 0)
     cand = packed_gather(loc.bins, bid, k_cap)       # (M, K)
+    return _test_and_fill(q, cand, px, py, pz, r, pend)
+
+
+def _test_and_fill(q: QuantizedCells, cand, px, py, pz, r, pend):
+    """Shared locate tail: containment-test the (M, K) candidate ids,
+    pick the winner, and build the dequantized (test16, prof) cache rows.
+    K is 16 for the full coarse-locator query and 2 for the fine-map
+    primary (models/finemap.py) — same arithmetic, so a primary hit is
+    bit-identical to the full query's fill (up to f32 boundary ties
+    where a point on a shared radial plane belongs to both columns)."""
+    from ..utils.layout import packed_gather
+    lm = q.lm
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
     trows = packed_gather(q.test12, safe, 16)        # (M, K, 16)
@@ -127,6 +139,42 @@ def _refresh_q(s: _State, c: _Consts, loc: Locator, q: QuantizedCells,
     return _fill_slots(s, pend & hit, test16, prof, cid)
 
 
+def _locate_q_fine(fm, q: QuantizedCells, px, py, pz, r, pend):
+    """Fine-map primary locate: ONE (c0, c1) map row + 2 candidate test
+    rows instead of the coarse bins row + 16 test rows (~51 vs ~395
+    ns/lane at R2B9, docs/ROUND3.md).  `hit` false means the point is in
+    neither mapped candidate — the caller keeps those lanes pending for
+    the authoritative full query (ops/fast._make_refresh second stage)."""
+    from ..utils.layout import packed_gather
+    f_lat = fm.dims[0]
+    f_lon = fm.dims[1]
+    lat = jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0))
+    lon = jnp.arctan2(py, px)
+    fl = jnp.clip(((lat - fm.lat_lo) / (fm.lat_hi - fm.lat_lo)
+                   * f_lat.astype(F32)).astype(jnp.int32), 0, f_lat - 1)
+    fo = jnp.clip(((lon - fm.lon_lo) / (fm.lon_hi - fm.lon_lo)
+                   * f_lon.astype(F32)).astype(jnp.int32), 0, f_lon - 1)
+    fbid = jnp.where(pend, fl * f_lon + fo, 0)
+    cand = packed_gather(fm.pairs, fbid, 2)          # (M, 2)
+    return _test_and_fill(q, cand, px, py, pz, r, pend)
+
+
+def _refresh_q_fine(s: _State, c: _Consts, fm, q: QuantizedCells,
+                    org, oo) -> _State:
+    """Dense fine-map primary refresh: resolves most pending lanes at
+    ~1/8 the gather traffic; misses KEEP pending (ops/fast.
+    _fill_slots_partial) for the compacted full-locate stage."""
+    from .fast import _fill_slots_partial
+    ox, oy, oz = org
+    pend = s.pending != 0
+    px = ox + c.dx * s.t
+    py = oy + c.dy * s.t
+    pz = oz + c.dz * s.t
+    r = jnp.sqrt(jnp.maximum(oo + 2.0 * s.t * c.od + s.t * s.t, 1e-30))
+    test16, prof, cid, hit = _locate_q_fine(fm, q, px, py, pz, r, pend)
+    return _fill_slots_partial(s, pend, pend & hit, test16, prof, cid)
+
+
 def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, oo, lm: int):
     """Composite color of a finished lane: the accepted sample's cached
     dequantized VALUE classified through the live LUT (ref semantics:
@@ -156,7 +204,8 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                   bands: RadialBands, tf: Transfunc, lp, xs, ys,
                   width: int, height: int, steps_per_refresh: int = 8,
                   max_outer: int = 16384, return_cost: bool = False,
-                  outer_unroll: int = 1, refresh_compact: int = 0):
+                  outer_unroll: int = 1, refresh_compact: int = 0,
+                  finemap=None):
     """One progressive sample for a batch of pixels on the quantized tier.
     Returns (wrote (L,) bool, color_alpha (L, 4) f32) [+ per-lane cost
     (outer iterations to completion) when return_cost]."""
@@ -177,7 +226,9 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
         lambda s, c: _refresh_q(s, c, loc, q, k_cap, org, oo),
         lambda px, py, pz, r, pend: _locate_q(loc, q, k_cap, px, py, pz,
                                               r, pend),
-        org, oo, refresh_compact)
+        org, oo, refresh_compact,
+        primary_fn=None if finemap is None else
+        (lambda s, c: _refresh_q_fine(s, c, finemap, q, org, oo)))
 
     def inner_phase(s: _State) -> _State:
         # Python-unrolled so XLA fuses all steps into one kernel per outer
@@ -217,7 +268,7 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                         width: int, height: int, accum0, fb0, samples: int,
                         steps_per_refresh: int = 8, max_outer: int = 16384,
                         outer_unroll: int = 1, refresh_compact: int = 0,
-                        preserve_cache: bool = True):
+                        preserve_cache: bool = True, finemap=None):
     """`samples` progressive samples per lane in ONE wavefront loop — the
     quantized-tier instantiation of ops/fast.batch_loop."""
     nb = bands.num_bands
@@ -237,7 +288,9 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
         lambda s, c: _refresh_q(s, c, loc, q, k_cap, org, oo),
         lambda px, py, pz, r, pend: _locate_q(loc, q, k_cap, px, py, pz,
                                               r, pend),
-        org, oo, refresh_compact)
+        org, oo, refresh_compact,
+        primary_fn=None if finemap is None else
+        (lambda s, c: _refresh_q_fine(s, c, finemap, q, org, oo)))
 
     def shade(s, c):
         return _shade_q(s, c, lp, tf, oo, lm)
@@ -268,7 +321,8 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                         samples: int = 1,
                         outer_unroll: int = 1,
                         refresh_compact: int = 0,
-                        preserve_cache: bool = True):
+                        preserve_cache: bool = True,
+                        finemap=None):
     """Full-frame progressive step on the quantized tier — drop-in peer of
     ops/fast.render_frame_fast (same pixel_perm / n_active / return_cost /
     samples contract)."""
@@ -293,7 +347,7 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                 q, loc, k_cap, bands, tf, lp, xs, ys, width, height,
                 a0, f0, samples, steps_per_refresh,
                 outer_unroll=outer_unroll, refresh_compact=refresh_compact,
-                preserve_cache=preserve_cache),
+                preserve_cache=preserve_cache, finemap=finemap),
             xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
         if n_proc == total:
             return accum_head, fb_head
@@ -305,7 +359,8 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                              width, height, steps_per_refresh,
                              return_cost=return_cost,
                              outer_unroll=outer_unroll,
-                             refresh_compact=refresh_compact)
+                             refresh_compact=refresh_compact,
+                             finemap=finemap)
 
     if n_proc <= chunk:
         out = run(xs_all, ys_all)

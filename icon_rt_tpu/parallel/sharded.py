@@ -299,43 +299,49 @@ def render_frame_fast_sharded(mesh: Mesh, cells: Cells, packed, locator,
 def render_frame_fastq_sharded(mesh: Mesh, q, loc, k_cap: int, bands, tf,
                                lp: LaunchParams, accum, fb, local_pix, *,
                                width: int, height: int, chunk: int = 4096,
-                               steps_per_refresh: int = 8, samples: int = 1):
+                               steps_per_refresh: int = 8, samples: int = 1,
+                               refresh_compact: int = 0, finemap=None):
     """One progressive QUANTIZED-tier step over the mesh — the north-star
     composition (BASELINE configs[4]: R2B9/R2B10-scale scenes, which only
     fit via the quantized tier, framebuffer tile-sharded with collective
     composite).  Same dealt-pixel contract as render_frame_fast_sharded;
-    the scene (quantized tables, dense locator, radial bands, live TF) is
-    replicated, only framebuffer state is sharded."""
+    the scene (quantized tables, dense locator, radial bands, live TF, and
+    optional fine map) is replicated, only framebuffer state is sharded."""
     from ..ops.fastq import render_fast_q, render_fast_q_batch
 
     def make_runners(scene_, lp_s):
-        q_, loc_, bands_, tf_ = scene_
+        q_, loc_, bands_, tf_, fm_ = scene_
 
         def run_one(xs, ys):
             return render_fast_q(q_, loc_, k_cap, bands_, tf_, lp_s,
-                                 xs, ys, width, height, steps_per_refresh)
+                                 xs, ys, width, height, steps_per_refresh,
+                                 refresh_compact=refresh_compact,
+                                 finemap=fm_)
 
         def run_batch(xs, ys, a0, f0):
             return render_fast_q_batch(q_, loc_, k_cap, bands_, tf_, lp_s,
                                        xs, ys, width, height, a0, f0,
-                                       samples, steps_per_refresh)
+                                       samples, steps_per_refresh,
+                                       refresh_compact=refresh_compact,
+                                       finemap=fm_)
 
         return run_one, run_batch
 
-    return _fast_sharded_generic(mesh, (q, loc, bands, tf), lp, accum, fb,
-                                 local_pix, make_runners,
+    return _fast_sharded_generic(mesh, (q, loc, bands, tf, finemap), lp,
+                                 accum, fb, local_pix, make_runners,
                                  width=width, chunk=chunk, samples=samples)
 
 
 def jit_render_frame_fastq_sharded(mesh, *, width, height, chunk=4096,
                                    k_cap=16, steps_per_refresh=8, samples=1,
-                                   donate=True):
+                                   refresh_compact=0, donate=True):
     """Jitted closure over the static configuration (quantized tier)."""
-    def step(q, loc, bands, tf, lp, accum, fb, local_pix):
+    def step(q, loc, bands, tf, lp, accum, fb, local_pix, finemap=None):
         return render_frame_fastq_sharded(
             mesh, q, loc, k_cap, bands, tf, lp, accum, fb, local_pix,
             width=width, height=height, chunk=chunk,
-            steps_per_refresh=steps_per_refresh, samples=samples)
+            steps_per_refresh=steps_per_refresh, samples=samples,
+            refresh_compact=refresh_compact, finemap=finemap)
     kw = dict(donate_argnums=(5, 6)) if donate else {}
     return jax.jit(step, **kw)
 

@@ -300,6 +300,15 @@ def test_fastq_sharded_matches_single_device():
     assert (img != 0).any()
     np.testing.assert_array_equal(img, np.asarray(f_ref))
 
+    # ... and with the fine-map primary locate (still bit-identical)
+    from icon_rt_tpu.models.finemap import build_finemap
+    fm = replicate_tables(mesh, build_finemap(loc, q.test12, k_cap))
+    accum, fb = alloc_fast_sharded_frame(mesh, local)
+    accum, fb = step(q_r, loc_r, bands, tf, lp, accum, fb, pix_dev,
+                     finemap=fm)
+    img_fm = scatter_fast_frame(gather_frame(fb), local, W, H)
+    np.testing.assert_array_equal(img_fm, np.asarray(f_ref))
+
 
 def test_fastq_sharded_inlane_samples():
     """Quantized tier + in-lane sample batching + shard_map: equals
