@@ -2,29 +2,33 @@
 
 The R2B9 profile (docs/ROUND3.md) shows the per-pending-lane locate is
 ~95% candidate test-row gathers: the coarse lat/lon locator averages 8+
-candidates per bin (k_cap = 16 rows fetched), at ~375 of the ~395 ns/lane
-locate cost.  This module trades those 16 row gathers for ONE map row:
+candidates per bin (k_cap = 16 rows fetched), at ~0.67 us/locate.  This
+module trades those 16 row gathers for ONE map row + 4 test rows:
 
   * a lat/lon grid `factor`x finer per axis than the locator stores, per
-    fine bin, the cell containing the bin CENTER (c0) and the most likely
-    second cell (c1: the nearest neighboring bin's differing c0) — at
-    factor 2 a fine bin is smaller than a cell, so {c0, c1} covers every
-    query point in the bin except near cell vertices;
-  * the render-side primary locate (ops/fastq._locate_q_fine) gathers the
-    (c0, c1) pair + 2 test rows instead of bins row + 16 test rows
-    (~51 vs ~375 ns/lane measured at R2B9);
-  * query points in neither candidate KEEP their pending flag and are
-    resolved by the full coarse-locator query on a compacted second stage
-    (ops/fast._make_refresh with primary_fn) — the two-stage locate is
-    therefore EXACT: stage 1 is only ever a short-cut to the same
+    fine bin, FOUR candidate columns: the first 4 distinct of
+    {containers of the bin's 4 sub-quadrant centers} ∪ {their nearest
+    differing neighbors}.  Cells are TRIANGLES, so a fine bin near a
+    mesh vertex overlaps 3+ cells — a 2-candidate (center, neighbor)
+    map measured only 58-68% hit rate, the 4-distinct-of-8 pool 95%
+    (prototype measurements, docs/ROUND3.md);
+  * the render-side primary locate (ops/fastq._locate_q_fine) gathers
+    the 4-candidate row + 4 test rows instead of bins row + 16 test
+    rows;
+  * query points in none of the 4 KEEP their pending flag and are
+    resolved by the full coarse-locator query on a compacted second
+    stage (ops/fast._make_refresh with primary_fn) — the two-stage
+    locate is therefore EXACT: stage 1 only ever short-cuts to the same
     containing column the full query returns (up to f32 boundary ties).
 
-Build runs on the device in chunked calls (the 60 s TPU worker ceiling,
-README): c0 = lateral containment of fine-bin centers against the coarse
-bin's candidates — side planes pass through the origin (column edges are
-radial), so containment of a UNIT-SPHERE point is exact for every radius
-and no radial window is needed.  c1 is a pure map-space pass (nearest
-differing neighbor in the c0 image).
+Build runs on the device in latitude SLABS (bounded gather intermediates
+AND bounded image temporaries — the full sub-center image alone is
+2.7 GB at R2B9, which does not fit next to the 10.7 GB scene): per slab,
+sub-center containment (side planes pass through the origin — column
+edges are radial — so containment of a UNIT-SPHERE point is exact for
+every radius), a neighbor pass with a one-row halo, 2x2 aggregation,
+and a vectorized first-4-distinct select, written into a single
+preallocated packed buffer.
 
 Reference analog: cuBQL BVH point queries (ref: icon_rt/hostCode.cu
 cell-locator usage); the reference pays per-query tree traversal where
@@ -32,16 +36,19 @@ this design pays one precomputed row.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["FineMap", "build_finemap"]
+__all__ = ["FineMap", "build_finemap", "K_CAND"]
+
+#: candidates per fine bin (packed row width; 128 // 4 = 32 bins/row)
+K_CAND = 4
 
 
 class FineMap(NamedTuple):
-    pairs: object          # packed (F_lat*F_lon, 2) i32 (c0, c1), -1 empty
-                           # (utils/layout.pack_table layout: (n/64, 128))
+    pairs: object          # packed (ceil(F/32), 128) i32, 4 per bin, -1 empty
     lat_lo: object         # () f32 — same angular window as the Locator
     lat_hi: object
     lon_lo: object
@@ -49,29 +56,30 @@ class FineMap(NamedTuple):
     dims: object           # (2,) i32 (F_lat, F_lon)
 
 
-def _centers_c0(loc, test12, k_cap: int, f_lat: int, f_lon: int,
-                bids, factor: int):
-    """Containing cell of each fine-bin center in `bids` (lateral test
-    against the coarse bin's candidates; -1 where no candidate passes,
-    which only happens on f32 ties along cell edges)."""
+def _centers_c0(loc, test12, k_cap: int, s_lat: int, s_lon: int,
+                bids, factor_sub: int):
+    """Containing cell of each sub-bin center in `bids` on the
+    (s_lat, s_lon) sub-grid (lateral test against the coarse bin's
+    candidates; -1 where no candidate passes, which only happens on f32
+    ties along cell edges)."""
     import jax.numpy as jnp
 
     from ..utils.layout import packed_gather
 
     F32 = jnp.float32
-    fl = bids // f_lon
-    fo = bids % f_lon
+    fl = bids // s_lon
+    fo = bids % s_lon
     lat = loc.lat_lo + (fl.astype(F32) + 0.5) \
-        * ((loc.lat_hi - loc.lat_lo) / F32(f_lat))
+        * ((loc.lat_hi - loc.lat_lo) / F32(s_lat))
     lon = loc.lon_lo + (fo.astype(F32) + 0.5) \
-        * ((loc.lon_hi - loc.lon_lo) / F32(f_lon))
+        * ((loc.lon_hi - loc.lon_lo) / F32(s_lon))
     cl = jnp.cos(lat)
     px = cl * jnp.cos(lon)
     py = cl * jnp.sin(lon)
     pz = jnp.sin(lat)
-    # the fine grid is an exact factor-x refinement: integer-divide back
+    # the sub grid is an exact factor_sub refinement: integer-divide back
     n_lon = loc.dims[1]
-    bid = (fl // factor) * n_lon + (fo // factor)
+    bid = (fl // factor_sub) * n_lon + (fo // factor_sub)
     cand = packed_gather(loc.bins, bid, k_cap)       # (M, K)
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
@@ -91,9 +99,11 @@ def _centers_c0(loc, test12, k_cap: int, f_lat: int, f_lon: int,
 
 
 def _second_candidates(c0_img):
-    """c1 per fine bin: the first neighboring bin (E, W, S, N, then
+    """c1 per sub-bin: the first neighboring bin (E, W, S, N, then
     diagonals) whose c0 differs — map-space arithmetic only.  Longitude
-    wraps (the grid spans the full circle); latitude clamps at the poles."""
+    wraps (the grid spans the full circle); latitude clamps at the edge
+    rows (the pole rows of the full image; interior slab edges are
+    covered by the caller's one-row halo)."""
     import jax.numpy as jnp
 
     def shift_lat(img, d):
@@ -112,55 +122,83 @@ def _second_candidates(c0_img):
     return c1
 
 
+def _first_distinct4(pool):
+    """(..., 8) candidate pool -> (..., 4): the first 4 distinct non-
+    negative entries, -1 padding.  Static 8x4 compare network."""
+    import jax.numpy as jnp
+
+    out = [jnp.full(pool.shape[:-1], -1, jnp.int32) for _ in range(K_CAND)]
+    cnt = jnp.zeros(pool.shape[:-1], jnp.int32)
+    for j in range(pool.shape[-1]):
+        v = pool[..., j]
+        dup = jnp.zeros(pool.shape[:-1], bool)
+        for k in range(K_CAND):
+            dup = dup | (out[k] == v)
+        take = (~dup) & (v >= 0) & (cnt < K_CAND)
+        for k in range(K_CAND):
+            out[k] = jnp.where(take & (cnt == k), v, out[k])
+        cnt = cnt + take.astype(jnp.int32)
+    return jnp.stack(out, axis=-1)
+
+
 def build_finemap(loc, test12, k_cap: int, factor: int = 2,
                   max_call_lanes: int = 1 << 21) -> FineMap:
     """Build the fine map on the device.
 
     loc: models/locator.Locator (PACK-8 bins).  test12: the quantized
     tier's packed (N, 16) side-plane table (QuantizedCells.test12; only
-    columns 0..8 are read).  The c0 pass is split into multiple device
-    calls of whole fine-grid ROWS totalling <= max_call_lanes centers
-    each: per-call both the gather wall-clock (the full R2B9 pass is
-    ~65 s — over the 60 s worker ceiling as one call) AND the (M, K, 16)
-    f32 test-row intermediate (2 GB at 2M lanes, k_cap 16 — 27 GB and an
-    instant OOM at the 2048-row chunk this started with) stay bounded."""
+    columns 0..8 are read).  Work proceeds in latitude slabs of whole
+    fine-map rows, each bounded to ~max_call_lanes sub-centers: bounds
+    both the per-call (M, k_cap, 16) f32 gather intermediate (2 GB at
+    2M lanes) and the image temporaries (the full R2B9 sub-center image
+    is 2.7 GB — it must never exist whole next to the ~10.7 GB scene)."""
     import jax
     import jax.numpy as jnp
 
     f_lat = int(loc.dims[0]) * factor
     f_lon = int(loc.dims[1]) * factor
-    rows_per_call = min(f_lat, max(1, max_call_lanes // f_lon))
+    s_lat, s_lon = 2 * f_lat, 2 * f_lon
+    factor_sub = 2 * factor
+    n_fine = f_lat * f_lon
+    n_pad = -(-n_fine // 32) * 32
 
-    @jax.jit
-    def c0_rows(row0, loc_, t12):
-        bids = row0 * f_lon + jnp.arange(rows_per_call * f_lon)
-        return _centers_c0(loc_, t12, k_cap, f_lat, f_lon, bids, factor)
+    # slab size: R map rows = 2R sub rows (+2 halo) within the budget
+    R = min(max(1, (max_call_lanes // s_lon - 2) // 2), f_lat)
 
-    parts = []
-    for row0 in range(0, f_lat, rows_per_call):
-        part = c0_rows(jnp.int32(row0), loc, test12)
-        part.block_until_ready()    # keep ONE (M, K, 16) live at a time
-        parts.append(part.reshape(rows_per_call, f_lon))
-    c0_img = jnp.concatenate(parts, axis=0)[:f_lat]
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def slab(buf, r0, loc_, t12):
+        """One slab: sub rows [2 r0 - 1, 2 (r0 + R) + 1) with edge clamp,
+        c1 within the slab (interior rows exact thanks to the halo),
+        2x2 aggregate -> 8 pool -> first-4-distinct, flat-write into buf
+        at bin offset r0 * f_lon * 4."""
+        lo = 2 * r0 - 1
+        rows = 2 * R + 2
+        rr = lo + jnp.arange(rows * s_lon) // s_lon
+        rr = jnp.clip(rr, 0, s_lat - 1)              # lat edge clamp
+        cc = jnp.arange(rows * s_lon) % s_lon
+        c0 = _centers_c0(loc_, t12, k_cap, s_lat, s_lon,
+                         rr * s_lon + cc, factor_sub).reshape(rows, s_lon)
+        c1 = _second_candidates(c0)
+        # interior: sub rows 1 .. 1+2R of the slab == global 2r0 .. 2r0+2R
+        c0 = c0[1:1 + 2 * R]
+        c1 = c1[1:1 + 2 * R]
 
-    parts = None    # free the per-call aliases before the c1 pass
+        def agg(img):
+            return img.reshape(R, 2, f_lon, 2).transpose(0, 2, 1, 3) \
+                      .reshape(R, f_lon, 4)
 
-    @jax.jit
-    def c1_pairs(img):
-        # fuse c1 + interleave in one call so no (c0, c1) pair of full
-        # images is ever live alongside the packed output (HBM at R2B9:
-        # the scene already holds ~10.7 GB of 16 GB)
-        c1 = _second_candidates(img)
-        return jnp.stack([img.reshape(-1), c1.reshape(-1)], axis=-1)
+        pool = jnp.concatenate([agg(c0), agg(c1)], axis=-1)   # (R,F,8)
+        sel = _first_distinct4(pool).reshape(-1)              # R*F*4
+        return jax.lax.dynamic_update_slice(buf, sel,
+                                            (r0 * f_lon * K_CAND,))
 
-    pairs = c1_pairs(c0_img)
-    del c0_img
-    n = pairs.shape[0]
-    pad = (-n) % 64
-    if pad:
-        pairs = jnp.concatenate(
-            [pairs, jnp.full((pad, 2), -1, jnp.int32)], axis=0)
-    pairs = pairs.reshape(-1, 128)                   # pack_table layout
+    buf = jnp.full((n_pad * K_CAND,), -1, jnp.int32)
+    for r0 in range(0, f_lat, R):
+        if r0 + R > f_lat:
+            r0 = f_lat - R      # final slab overlaps; writes are idempotent
+        buf = slab(buf, jnp.int32(r0), loc, test12)
+        buf.block_until_ready()  # keep ONE (M, K, 16) gather live at a time
+    pairs = buf.reshape(-1, 128)                     # pack_table layout
     return FineMap(pairs=pairs,
                    lat_lo=loc.lat_lo, lat_hi=loc.lat_hi,
                    lon_lo=loc.lon_lo, lon_hi=loc.lon_hi,

@@ -140,11 +140,12 @@ def _refresh_q(s: _State, c: _Consts, loc: Locator, q: QuantizedCells,
 
 
 def _locate_q_fine(fm, q: QuantizedCells, px, py, pz, r, pend):
-    """Fine-map primary locate: ONE (c0, c1) map row + 2 candidate test
-    rows instead of the coarse bins row + 16 test rows (~51 vs ~395
-    ns/lane at R2B9, docs/ROUND3.md).  `hit` false means the point is in
-    neither mapped candidate — the caller keeps those lanes pending for
-    the authoritative full query (ops/fast._make_refresh second stage)."""
+    """Fine-map primary locate: ONE 4-candidate map row + 4 candidate
+    test rows instead of the coarse bins row + 16 test rows.  `hit`
+    false means the point is in none of the mapped candidates — the
+    caller keeps those lanes pending for the authoritative full query
+    (ops/fast._make_refresh second stage)."""
+    from ..models.finemap import K_CAND
     from ..utils.layout import packed_gather
     f_lat = fm.dims[0]
     f_lon = fm.dims[1]
@@ -155,7 +156,7 @@ def _locate_q_fine(fm, q: QuantizedCells, px, py, pz, r, pend):
     fo = jnp.clip(((lon - fm.lon_lo) / (fm.lon_hi - fm.lon_lo)
                    * f_lon.astype(F32)).astype(jnp.int32), 0, f_lon - 1)
     fbid = jnp.where(pend, fl * f_lon + fo, 0)
-    cand = packed_gather(fm.pairs, fbid, 2)          # (M, 2)
+    cand = packed_gather(fm.pairs, fbid, K_CAND)     # (M, 4)
     return _test_and_fill(q, cand, px, py, pz, r, pend)
 
 

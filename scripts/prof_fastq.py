@@ -90,6 +90,13 @@ def main():
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--spr", type=int, default=8)
     ap.add_argument("--probes", default="gather,refresh,steps,outer,loop,stats")
+    ap.add_argument("--finemap", type=int, default=0,
+                    help="fine-map factor (0 = off); adds the two-stage "
+                         "primary to the loop probes and enables the "
+                         "fine/hitrate probes")
+    ap.add_argument("--spp", type=int, default=64,
+                    help="in-lane samples for the batch probe")
+    ap.add_argument("--compact", type=int, default=2048)
     args = ap.parse_args()
     L = args.chunk
     probes = args.probes.split(",")
@@ -191,6 +198,22 @@ def main():
         print(f"gather  alpha u8 (L,{lm}) rows:  {t/L*1e9:8.1f} ns/row",
               flush=True)
 
+    fm = None
+    if args.finemap:
+        from icon_rt_tpu.models.finemap import build_finemap
+        tb = time.time()
+        fm = build_finemap(loc, q.test12, k_cap, factor=args.finemap)
+        jax.block_until_ready(fm.pairs)
+        n_fine = int(np.asarray(fm.dims[0])) * int(np.asarray(fm.dims[1]))
+        # map stats via a cheap device reduction (pairs is pack-32)
+        from icon_rt_tpu.models.finemap import K_CAND
+        flat = fm.pairs.reshape(-1, K_CAND)[:n_fine]
+        fill = [float(jnp.mean((flat[:, k] >= 0).astype(jnp.float32)))
+                for k in range(K_CAND)]
+        print(f"# finemap x{args.finemap}: {n_fine} bins, slot fill "
+              f"{' '.join(f'{f:.3f}' for f in fill)}, "
+              f"built {time.time()-tb:.0f}s", flush=True)
+
     # step length scale: vary sample t per rep so refreshes hit fresh bins
     dt_seg = float(np.asarray(bands.edges[-1] - bands.edges[0])) / 64.0
 
@@ -204,6 +227,83 @@ def main():
         t = timeit_inner(body, s0, reps=64, tables=(loc, q))
         print(f"refresh all-pending:           {t*1e6:9.1f} us "
               f"({t/L*1e9:6.1f} ns/lane)", flush=True)
+
+    if "fine" in probes and fm is not None:
+        from icon_rt_tpu.ops.fastq import _refresh_q_fine
+
+        def fbody(i, s, tb):
+            fm_, q_ = tb
+            s = s._replace(pending=jnp.ones(L, jnp.int32),
+                           t=s0.t + (i % 64).astype(jnp.float32) * dt_seg)
+            return _refresh_q_fine(s, consts, fm_, q_, org, oo)
+
+        t = timeit_inner(fbody, s0, reps=64, tables=(fm, q))
+        print(f"fine primary all-pending:      {t*1e6:9.1f} us "
+              f"({t/L*1e9:6.1f} ns/lane)", flush=True)
+
+    if "hitrate" in probes and fm is not None:
+        # primary hit rate along REAL rays: walk each lane's sample t
+        # forward in band-sized hops and query the primary at each point
+        from icon_rt_tpu.ops.fastq import _locate_q_fine, _locate_q
+
+        @jax.jit
+        def rates(s, fm_, q_, loc_):
+            ones = jnp.ones(L, bool)
+            hits_f = jnp.zeros((), jnp.float32)
+            hits_c = jnp.zeros((), jnp.float32)
+            n = jnp.zeros((), jnp.float32)
+            ox, oy, oz = org
+
+            def step(i, carry):
+                hits_f, hits_c, n = carry
+                tt = s.t + i.astype(jnp.float32) * dt_seg
+                px = ox + consts.dx * tt
+                py = oy + consts.dy * tt
+                pz = oz + consts.dz * tt
+                r = jnp.sqrt(jnp.maximum(
+                    oo + 2.0 * tt * consts.od + tt * tt, 1e-30))
+                *_, hf = _locate_q_fine(fm_, q_, px, py, pz, r, ones)
+                *_, hc = _locate_q(loc_, q_, k_cap, px, py, pz, r, ones)
+                # count only in-volume points (full locate hits)
+                hits_f = hits_f + jnp.sum((hf & hc).astype(jnp.float32))
+                hits_c = hits_c + jnp.sum(hc.astype(jnp.float32))
+                return hits_f, hits_c, n + L
+
+            hits_f, hits_c, n = jax.lax.fori_loop(0, 32, step,
+                                                  (hits_f, hits_c, n))
+            return hits_f, hits_c, n
+
+        hf_, hc_, n_ = rates(s0, fm, q, loc)
+        print(f"hitrate: primary resolves {float(hf_)/max(float(hc_),1):.4f}"
+              f" of in-volume locates (volume coverage "
+              f"{float(hc_)/float(n_):.3f})", flush=True)
+
+    if "batch" in probes:
+        from icon_rt_tpu.ops.fastq import render_fast_q_batch
+        from icon_rt_tpu.ops.render import alloc_frame
+
+        S = args.spp
+        a0 = jnp.zeros((L, 4), jnp.float32)
+        f0 = jnp.zeros((L,), jnp.uint32)
+
+        @jax.jit
+        def bcall(q_, loc_, fm_, a, f):
+            return render_fast_q_batch(
+                q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
+                a, f, S, args.spr, refresh_compact=args.compact,
+                finemap=fm_)
+
+        jax.block_until_ready(bcall(q, loc, fm, a0, f0))
+        t0b = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            a1, f1 = bcall(q, loc, fm, a0, f0)
+        np.asarray(f1)
+        dt = (time.perf_counter() - t0b) / reps
+        print(f"batch L={L} S={S} spr={args.spr} compact={args.compact} "
+              f"fm={'x'+str(args.finemap) if fm is not None else 'off'}: "
+              f"{dt*1e3:8.1f} ms/call "
+              f"({L*S/dt/1e6:6.2f} Msamples/s)", flush=True)
 
     def inner(s):
         for _ in range(args.spr):
