@@ -723,7 +723,17 @@ def _make_refresh(dense_fn, locate_fn, org, oo, refresh_compact: int,
     def refresh(s, c):
         lanes_n = s.t.shape[0]
         if primary_fn is not None:
-            s = primary_fn(s, c)
+            # the primary runs DENSE (gathers execute for every lane, the
+            # measured cost model of all dense refreshes here), so below
+            # ~lanes/8 pending a compact full locate is cheaper than
+            # primary + compact tail: ~0.065 us/lane dense primary vs
+            # ~0.67 us/pending-lane full locate, crossover ~lanes/10.
+            # Either branch leaves the tiers serving ALL pending lanes,
+            # so output bits are identical whichever is taken.
+            cnt0 = jnp.sum((s.pending != 0).astype(jnp.int32))
+            s = jax.lax.cond(cnt0 >= max(lanes_n // 8, 129),
+                             lambda ss: primary_fn(ss, c),
+                             lambda ss: ss, s)
         cnt = jnp.sum((s.pending != 0).astype(jnp.int32))
         tiers = []
         # with a primary, stage-2 only sees the primary's misses —
