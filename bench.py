@@ -165,6 +165,12 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
     n_traced = min(total, -(-max(n_active, 1) // chunk) * chunk)
 
     compact = int(os.environ.get("BENCH_COMPACT", "2048"))
+    fm = None
+    fm_factor = int(os.environ.get("BENCH_FINEMAP_F32", "0"))
+    if fm_factor > 0:
+        from icon_rt_tpu.models.finemap import build_finemap, normals_table
+        fm = build_finemap(locator, normals_table(cells.planes),
+                           int(locator.bins.shape[1]), factor=fm_factor)
 
     def step(s, accum, fb):
         # spp progressive samples per call via in-lane batching — the
@@ -176,7 +182,8 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
                                  accum, fb, width=WIDTH, height=HEIGHT,
                                  pixel_perm=perm, n_active=n_active,
                                  chunk=chunk, steps_per_refresh=spr,
-                                 samples=spp, refresh_compact=compact)
+                                 samples=spp, refresh_compact=compact,
+                                 finemap=fm)
 
     accum, fb = step(0, accum, fb)
     float((np.asarray(fb)[inv] != 0).mean())  # warm + sync

@@ -41,7 +41,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["FineMap", "build_finemap", "K_CAND"]
+__all__ = ["FineMap", "build_finemap", "normals_table", "K_CAND"]
 
 #: candidates per fine bin (packed row width; 128 // 4 = 32 bins/row)
 K_CAND = 4
@@ -54,6 +54,24 @@ class FineMap(NamedTuple):
     lon_lo: object
     lon_hi: object
     dims: object           # (2,) i32 (F_lat, F_lon)
+
+
+def normals_table(planes):
+    """f32-tier build input: (N, 3, 4)-or-(N, 12) side planes -> packed
+    (N/8, 128) normals-only table for build_finemap (cols 0..8 read).
+    Offsets are dropped: candidate selection tests UNIT-SPHERE points
+    against radial planes, and a non-zero offset could only lower the
+    primary hit rate, never correctness (the render-side containment
+    test is the full plane equation; misses fall to the full locate)."""
+    import jax.numpy as jnp
+
+    from ..utils.layout import pack_table
+
+    p = np.asarray(planes, np.float32)
+    p = p.reshape(p.shape[0], 3, 4)
+    out = np.zeros((p.shape[0], 16), np.float32)
+    out[:, :9] = p[:, :, :3].reshape(-1, 9)
+    return jnp.asarray(pack_table(out))
 
 
 def _centers_c0(loc, test12, k_cap: int, s_lat: int, s_lon: int,

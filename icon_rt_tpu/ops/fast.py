@@ -543,6 +543,39 @@ def _locate(loc: Locator, packed: PackedCells, px, py, pz, r, pend,
                    * n_lon.astype(F32)).astype(jnp.int32), 0, n_lon - 1)
     bid = jnp.where(pend, bl * n_lon + bo, 0)
     cand = loc.bins[bid]                             # (M, K) gather
+    return _test_and_fill_f32(packed, cand, px, py, pz, r, pend, flat_vert)
+
+
+def _locate_fine(fm, packed: PackedCells, px, py, pz, r, pend,
+                 flat_vert: bool = False):
+    """Fine-map primary locate, f32 tier (peer of ops/fastq.
+    _locate_q_fine): one 4-candidate map row + 4 test rows instead of
+    bins row + 16.  Misses (hit False) stay pending for the full
+    _locate on a compacted second stage — exactness is structural (the
+    containment test below is the full one, offsets and all; the map
+    only proposes candidates)."""
+    from ..models.finemap import K_CAND
+    from ..utils.layout import packed_gather
+    f_lat = fm.dims[0]
+    f_lon = fm.dims[1]
+    lat = jnp.arcsin(jnp.clip(pz / r, -1.0, 1.0))
+    lon = jnp.arctan2(py, px)
+    fl = jnp.clip(((lat - fm.lat_lo) / (fm.lat_hi - fm.lat_lo)
+                   * f_lat.astype(F32)).astype(jnp.int32), 0, f_lat - 1)
+    fo = jnp.clip(((lon - fm.lon_lo) / (fm.lon_hi - fm.lon_lo)
+                   * f_lon.astype(F32)).astype(jnp.int32), 0, f_lon - 1)
+    fbid = jnp.where(pend, fl * f_lon + fo, 0)
+    cand = packed_gather(fm.pairs, fbid, K_CAND)     # (M, 4)
+    return _test_and_fill_f32(packed, cand, px, py, pz, r, pend, flat_vert)
+
+
+def _test_and_fill_f32(packed: PackedCells, cand, px, py, pz, r, pend,
+                       flat_vert: bool):
+    """Shared locate tail: containment-test (M, K) candidate ids against
+    the full plane equations (offsets included), pick the winner, gather
+    its profile row.  K is the locator's k_cap for the full query and 4
+    for the fine-map primary — identical arithmetic, so a primary hit is
+    bit-identical to the full query's fill."""
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
     trows = packed.test[safe]                        # (M, K, 16|32) gather
@@ -643,6 +676,22 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
     new_test, prow, cid, hit = _locate(loc, packed, px, py, pz, r, pend,
                                        flat_vert)
     return _fill_slots(s, pend & hit, new_test, prow, cid)
+
+
+def _refresh_fine(s: _State, c: _Consts, fm, packed: PackedCells,
+                  org, oo, flat_vert: bool = False) -> _State:
+    """Dense fine-map primary refresh, f32 tier: resolves most pending
+    lanes at ~1/4 the gather traffic; misses KEEP pending
+    (_fill_slots_partial) for the compacted full-locate stage."""
+    ox, oy, oz = org
+    pend = s.pending != 0
+    px = ox + c.dx * s.t
+    py = oy + c.dy * s.t
+    pz = oz + c.dz * s.t
+    r = _r_of(s.t, c.od, oo)
+    new_test, prow, cid, hit = _locate_fine(fm, packed, px, py, pz, r,
+                                            pend, flat_vert)
+    return _fill_slots_partial(s, pend, pend & hit, new_test, prow, cid)
 
 
 def _compact_service(s: _State, c: _Consts, locate_fn, org, oo, P: int
@@ -769,7 +818,8 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 bands: RadialBands, lp, xs, ys, width: int, height: int,
                 steps_per_refresh: int = 8, max_outer: int = 16384,
                 return_cost: bool = False, sampler: str = "locator",
-                outer_unroll: int = 1, refresh_compact: int = 0):
+                outer_unroll: int = 1, refresh_compact: int = 0,
+                finemap=None):
     """One progressive sample for a batch of pixels.
 
     lp: ops.render.LaunchParams.  xs, ys: (L,) i32 pixel coords.
@@ -781,6 +831,9 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
     'wedge' (the reference's mode-2 wedge estimator made gather-free;
     packed must come from pack_cells_wedge and bands from
     models/shells.build_radial_bands_wedge).
+
+    finemap: optional models/finemap.FineMap two-stage locate primary
+    (build from this tier's planes via normals_table + build_finemap).
     """
     L = xs.shape[0]
     fv = sampler == "wedge"
@@ -801,7 +854,10 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         lambda s, c: _refresh(s, c, loc, packed, org, oo, flat_vert=fv),
         lambda px, py, pz, r, pend: _locate(loc, packed, px, py, pz, r,
                                             pend, flat_vert=fv),
-        org, oo, refresh_compact)
+        org, oo, refresh_compact,
+        primary_fn=None if finemap is None else
+        (lambda s, c: _refresh_fine(s, c, finemap, packed, org, oo,
+                                    flat_vert=fv)))
 
     def inner_phase(s: _State) -> _State:
         # Python-unrolled on purpose: a lax.fori_loop would make every step
@@ -970,7 +1026,8 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
                       accum0, fb0, samples: int,
                       steps_per_refresh: int = 8, max_outer: int = 16384,
                       sampler: str = "locator", outer_unroll: int = 1,
-                      refresh_compact: int = 0, preserve_cache: bool = True):
+                      refresh_compact: int = 0, preserve_cache: bool = True,
+                      finemap=None):
     """`samples` progressive samples per lane in ONE wavefront loop — the
     f32-tier instantiation of batch_loop (see its docstring)."""
     fv = sampler == "wedge"
@@ -991,7 +1048,10 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
         lambda s, c: _refresh(s, c, loc, packed, org, oo, flat_vert=fv),
         lambda px, py, pz, r, pend: _locate(loc, packed, px, py, pz, r,
                                             pend, flat_vert=fv),
-        org, oo, refresh_compact)
+        org, oo, refresh_compact,
+        primary_fn=None if finemap is None else
+        (lambda s, c: _refresh_fine(s, c, finemap, packed, org, oo,
+                                    flat_vert=fv)))
 
     def shade(s, c):
         return _shade(s, c, packed.rgb, lp, oo, flat_vert=fv)
@@ -1051,7 +1111,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       sampler: str = "locator",
                       outer_unroll: int = 1,
                       refresh_compact: int = 0,
-                      preserve_cache: bool = True):
+                      preserve_cache: bool = True,
+                      finemap=None):
     """Full-frame progressive step on the fast path (drop-in peer of
     render_frame_ae / render_frame_accel).
 
@@ -1098,7 +1159,7 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 cells, packed, loc, bands, lp, xs, ys, width, height,
                 a0, f0, samples, steps_per_refresh, sampler=sampler,
                 outer_unroll=outer_unroll, refresh_compact=refresh_compact,
-                preserve_cache=preserve_cache),
+                preserve_cache=preserve_cache, finemap=finemap),
             xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
         if n_proc == total:
             return accum_head, fb_head
@@ -1110,7 +1171,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                            width, height, steps_per_refresh,
                            return_cost=return_cost, sampler=sampler,
                            outer_unroll=outer_unroll,
-                           refresh_compact=refresh_compact)
+                           refresh_compact=refresh_compact,
+                           finemap=finemap)
 
     if n_proc <= chunk:
         out = run(xs_all, ys_all)

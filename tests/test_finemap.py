@@ -151,3 +151,35 @@ def test_finemap_render_bit_identical(scene):
                                  samples=3, chunk=128, finemap=fm,
                                  refresh_compact=32)
     np.testing.assert_array_equal(np.asarray(fc), np.asarray(f1))
+
+
+def test_finemap_render_bit_identical_f32(scene):
+    """The f32 tier's two-stage locate (normals_table + _locate_fine):
+    same exactness contract as the quantized tier."""
+    from icon_rt_tpu.models.cells import build_cells
+    from icon_rt_tpu.models.finemap import normals_table
+    from icon_rt_tpu.models.locator import build_locator
+    from icon_rt_tpu.ops.fast import pack_cells, render_frame_fast
+
+    ds_q, stats, tf, q, loc_q, k_cap, bands, _ = scene
+    cells = build_cells(ds_q)
+    loc = build_locator(ds_q)
+    packed = pack_cells(cells, tf)
+    fm = build_finemap(loc, normals_table(cells.planes),
+                       int(loc.bins.shape[1]), factor=2)
+    W = H = 24
+    cam = Camera()
+    cam.set_aspect(W / H)
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    for samples in (1, 3):
+        a1, f1 = render_frame_fast(cells, packed, loc, bands, lp,
+                                   *alloc_frame(W, H), width=W, height=H,
+                                   samples=samples, chunk=128)
+        a2, f2 = render_frame_fast(cells, packed, loc, bands, lp,
+                                   *alloc_frame(W, H), width=W, height=H,
+                                   samples=samples, chunk=128, finemap=fm)
+        np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1))
+        assert (np.asarray(f1) != 0).any()
