@@ -907,7 +907,8 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 
 def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
                samples: int, max_outer: int = 16384,
-               outer_unroll: int = 1, preserve_cache: bool = True):
+               outer_unroll: int = 1, preserve_cache: bool = True,
+               return_stats: bool = False):
     """Generic in-lane sample-batching wavefront loop (shared by the f32
     and quantized tiers).
 
@@ -937,6 +938,10 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
         samp=jnp.zeros(fb0.shape[0], jnp.int32),
         ar=accum0[:, 0], ag=accum0[:, 1], ab=accum0[:, 2], aa=accum0[:, 3],
         wany=jnp.zeros(fb0.shape[0], jnp.int32),
+        # profiling counters (return_stats): refresh phases entered and
+        # total pending lanes they served — the per-call locate demand
+        # that sizing decisions (cache slots, primary threshold) need
+        st_refr=jnp.int32(0), st_pend=jnp.int32(0),
     )
 
     def retire(q):
@@ -981,6 +986,7 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
             wrote=jnp.where(more, nw.astype(jnp.int32), q["wrote"]),
             samp=samp2, ar=ar, ag=ag, ab=ab, aa=aa,
             wany=wany.astype(jnp.int32),
+            st_refr=q["st_refr"], st_pend=q["st_pend"],
         )
 
     def outer_cond(carry):
@@ -1002,13 +1008,16 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
         q = jax.lax.cond(
             jnp.any((q["s"].done != 0) & (q["samp"] < S)),
             retire, lambda x: x, q)
-        s = jax.lax.cond(jnp.any(q["s"].pending != 0),
+        pend_n = jnp.sum((q["s"].pending != 0).astype(jnp.int32))
+        s = jax.lax.cond(pend_n > 0,
                          lambda s: refresh(s, q["c"]),
                          lambda s: s, q["s"])
-        return dict(q, s=s)
+        return dict(q, s=s,
+                    st_refr=q["st_refr"] + (pend_n > 0).astype(jnp.int32),
+                    st_pend=q["st_pend"] + pend_n)
 
-    q, _ = jax.lax.while_loop(outer_cond, outer_body,
-                              (carry0, jnp.int32(0)))
+    q, n_it = jax.lax.while_loop(outer_cond, outer_body,
+                                 (carry0, jnp.int32(0)))
     q = retire(q)   # the loop exits with final samples un-retired
 
     wany = q["wany"] != 0
@@ -1018,6 +1027,8 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
                                             axis=-1))
     accum = jnp.stack([q["ar"], q["ag"], q["ab"], q["aa"]], axis=-1)
     fb = jnp.where(wany, px, fb0)
+    if return_stats:
+        return accum, fb, (n_it, q["st_refr"], q["st_pend"])
     return accum, fb
 
 

@@ -80,10 +80,11 @@ def _locate_q(loc: Locator, q: QuantizedCells, k_cap: int,
 def _test_and_fill(q: QuantizedCells, cand, px, py, pz, r, pend):
     """Shared locate tail: containment-test the (M, K) candidate ids,
     pick the winner, and build the dequantized (test16, prof) cache rows.
-    K is 16 for the full coarse-locator query and 2 for the fine-map
-    primary (models/finemap.py) — same arithmetic, so a primary hit is
-    bit-identical to the full query's fill (up to f32 boundary ties
-    where a point on a shared radial plane belongs to both columns)."""
+    K is k_cap (16) for the full coarse-locator query and 4 for the
+    fine-map primary (models/finemap.py) — same arithmetic, so a primary
+    hit is bit-identical to the full query's fill (up to f32 boundary
+    ties where a point on a shared radial plane belongs to both
+    columns)."""
     from ..utils.layout import packed_gather
     lm = q.lm
     valid = cand >= 0
@@ -269,7 +270,8 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                         width: int, height: int, accum0, fb0, samples: int,
                         steps_per_refresh: int = 8, max_outer: int = 16384,
                         outer_unroll: int = 1, refresh_compact: int = 0,
-                        preserve_cache: bool = True, finemap=None):
+                        preserve_cache: bool = True, finemap=None,
+                        return_stats: bool = False):
     """`samples` progressive samples per lane in ONE wavefront loop — the
     quantized-tier instantiation of ops/fast.batch_loop."""
     nb = bands.num_bands
@@ -303,7 +305,7 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
         return s
 
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
-                      samples, max_outer, outer_unroll, preserve_cache)
+                      samples, max_outer, outer_unroll, preserve_cache, return_stats=return_stats)
 
 
 @functools.partial(jax.jit,

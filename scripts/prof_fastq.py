@@ -305,6 +305,30 @@ def main():
               f"{dt*1e3:8.1f} ms/call "
               f"({L*S/dt/1e6:6.2f} Msamples/s)", flush=True)
 
+    if "bstats" in probes:
+        # instrumented batched loop: how many refresh phases does a real
+        # (L, S) call enter, and how many pending lanes do they serve?
+        # (decides cache-slot count and primary-threshold tuning)
+        from icon_rt_tpu.ops.fastq import render_fast_q_batch
+
+        S = args.spp
+        a0 = jnp.zeros((L, 4), jnp.float32)
+        f0 = jnp.zeros((L,), jnp.uint32)
+
+        @jax.jit
+        def bstats(q_, loc_, fm_, a, f):
+            return render_fast_q_batch(
+                q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
+                a, f, S, args.spr, refresh_compact=args.compact,
+                finemap=fm_, return_stats=True)
+
+        _, _, (n_it, n_refr, n_pend) = bstats(q, loc, fm, a0, f0)
+        n_it, n_refr, n_pend = int(n_it), int(n_refr), int(n_pend)
+        print(f"bstats L={L} S={S}: outer={n_it} refresh_phases={n_refr} "
+              f"pend_total={n_pend} "
+              f"(pend/phase={n_pend/max(n_refr,1):.0f}, "
+              f"locates/sample={n_pend/(L*S):.3f})", flush=True)
+
     def inner(s):
         for _ in range(args.spr):
             s = step_core(s, consts, edges, majors, org, oo, ud, nb,
