@@ -214,6 +214,23 @@ def bake_alpha_q(q: QuantizedCells, tf: Transfunc,
     if q.alpha_tab is not None and np.array_equal(tab_host, q.alpha_tab):
         return q._replace(alpha_max=a_max)
     try:
+        if q.alpha_tab is not None:
+            # INCREMENTAL PATH (round-3 verdict item 4): a TFE stroke
+            # usually touches a narrow value band, so few of the 256
+            # normalized levels actually change; patching only those is
+            # an 8x narrower select-reduce than the full bake (the bake
+            # is compute-bound: 256 compare-selects per u8 element)
+            changed = np.nonzero(tab_host != q.alpha_tab)[0]
+            if changed.size <= 32:
+                lev = np.full(32, -1, np.int32)   # -1 pads: never matches
+                lev[:changed.size] = changed
+                alpha_q = _bake_patch(q.value_q, q.alpha_q,
+                                      jnp.asarray(lev),
+                                      jnp.asarray(tab_host[np.maximum(
+                                          lev, 0)]))
+                alpha_q.block_until_ready()
+                return q._replace(alpha_q=alpha_q, alpha_max=a_max,
+                                  alpha_tab=tab_host)
         alpha_q = _bake_lookup(q.value_q, q_tab)
         alpha_q.block_until_ready()
     except Exception:
@@ -263,3 +280,36 @@ def _bake_lookup(vq, tab):
         fn = jax.jit(body)
         _BAKE_CACHE["bake"] = fn
     return fn(vq, tab)
+
+
+def _bake_patch(vq, aq_old, lev, new):
+    """Patch alpha_q where value_q hits one of <= 32 changed levels:
+    out = new[j] where vq == lev[j] else aq_old.  lev is -1-padded
+    (never matches a u8 value), entries are distinct, so the masked sum
+    selects exactly one new value.  Same chunking as _bake_lookup.  The
+    old table is NOT donated: callers edit repeatedly from one base q
+    (e.g. successive TFE strokes), so its buffer must stay valid."""
+    def body(v, a, lv, nw):
+        n, w = v.shape
+        rows = max(1, min(n, (1 << 21) // max(w, 1)))
+        pad = (-n) % rows
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad, w), v.dtype)])
+            a = jnp.concatenate([a, jnp.zeros((pad, w), a.dtype)])
+        ni = nw.astype(jnp.int32)
+
+        def chunk(c):
+            cv, ca = c
+            m = cv.astype(jnp.int32)[..., None] == lv
+            sel = jnp.sum(jnp.where(m, ni, 0), axis=-1).astype(jnp.uint8)
+            return jnp.where(jnp.any(m, axis=-1), sel, ca)
+
+        out = jax.lax.map(chunk, (v.reshape(-1, rows, w),
+                                  a.reshape(-1, rows, w)))
+        return out.reshape(-1, w)[:n]
+
+    fn = _BAKE_CACHE.get("patch")
+    if fn is None:
+        fn = jax.jit(body)
+        _BAKE_CACHE["patch"] = fn
+    return fn(vq, aq_old, lev, new)

@@ -193,6 +193,32 @@ def test_bake_alpha_q_unchanged_table_skips_rewrite(scene):
     assert float(q2.alpha_max) == float(q.alpha_max)
 
 
+def test_bake_alpha_q_incremental_patch(scene):
+    """A NARROW alpha edit (<= 32 changed levels of the 256-entry
+    normalized table) takes the incremental patch path and must equal
+    the from-scratch bake bit-for-bit."""
+    ds_q, stats, tf, q, *_ = scene
+    base = bake_alpha_q(q._replace(alpha_tab=None), tf)
+    # push a narrow value band: scale a couple of LUT entries' alpha
+    lut = np.asarray(tf.values).copy()
+    lut[3, 3] *= 0.5
+    tf2 = tf._replace(values=jnp.asarray(lut))
+    # confirm the edit is actually narrow at the 256-level granularity
+    from icon_rt_tpu.models.qcells import _classify_alpha_table
+    t1 = np.asarray(_classify_alpha_table(tf, q.value_lo, q.value_hi))
+    t2 = np.asarray(_classify_alpha_table(tf2, q.value_lo, q.value_hi))
+    n1 = np.floor(t1 / max(t1.max(), 1e-8) * 255).astype(np.uint8)
+    n2 = np.floor(t2 / max(t2.max(), 1e-8) * 255).astype(np.uint8)
+    assert 0 < (n1 != n2).sum() <= 32, (n1 != n2).sum()
+
+    patched = bake_alpha_q(base, tf2)
+    fresh = bake_alpha_q(q._replace(alpha_tab=None), tf2)
+    np.testing.assert_array_equal(np.asarray(patched.alpha_q),
+                                  np.asarray(fresh.alpha_q))
+    np.testing.assert_array_equal(patched.alpha_tab, fresh.alpha_tab)
+    assert float(patched.alpha_max) == float(fresh.alpha_max)
+
+
 def test_bake_alpha_q_curve_edit_rebakes(scene):
     """A non-uniform LUT alpha edit changes the normalized table and must
     rebake; the result matches a from-scratch bake."""
