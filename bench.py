@@ -253,7 +253,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     cache_key = f"s{subdiv}_l{num_layers}"
     sc = None
     if not _os.path.exists(_os.path.join(_CACHE_DIR,
-                                         f"qloc_{cache_key}.npz")):
+                                         f"qloc2_{cache_key}.npz")):
         sc = synth_quantized_cached(subdiv, num_layers)  # binning needs lat/lon
     loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key)
     fm = None

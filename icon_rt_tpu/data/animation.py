@@ -98,8 +98,8 @@ def animate_fast_sharded(anim: Animation, cells, locator, bands, tf,
 def animate_fastq_sharded(geometry_q, value_q_steps, loc, k_cap: int,
                           bands, tf, lp_for_frame, mesh, stats,
                           width: int, height: int,
-                          samples_per_frame: int = 4, chunk: int = 4096
-                          ) -> Iterator[np.ndarray]:
+                          samples_per_frame: int = 4, chunk: int = 4096,
+                          finemap=None) -> Iterator[np.ndarray]:
     """QUANTIZED time series over a device mesh — the full north-star
     composition (BASELINE configs[4]: R2B9/R2B10-scale scenes only fit the
     chip through the quantized tier; time-animated; tile-sharded fb;
@@ -121,6 +121,9 @@ def animate_fastq_sharded(geometry_q, value_q_steps, loc, k_cap: int,
 
     n_tiles = mesh.shape["tiles"]
     loc_r, bands_r, tf_r = replicate_tables(mesh, (loc, bands, tf))
+    # the fine map is geometry-only (candidate COLUMN ids), so one build
+    # serves every timestep of the value animation
+    fm_r = None if finemap is None else replicate_tables(mesh, finemap)
     step = jit_render_frame_fastq_sharded(mesh, width=width, height=height,
                                           chunk=chunk, k_cap=k_cap,
                                           donate=False)
@@ -143,7 +146,7 @@ def animate_fastq_sharded(geometry_q, value_q_steps, loc, k_cap: int,
         accum, fb = alloc_fast_sharded_frame(mesh, local)
         for s in range(samples_per_frame):
             accum, fb = step(q_t, loc_r, bands_r, tf_r, lp_for_frame(t, s),
-                             accum, fb, local_dev)
+                             accum, fb, local_dev, finemap=fm_r)
         yield scatter_fast_frame(np.asarray(jax.device_get(fb)), local,
                                  width, height)
 

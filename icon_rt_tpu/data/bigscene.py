@@ -255,7 +255,7 @@ def build_locator_csr_from_scene(sc: QuantScene, dims=None,
     from ..models.locator import Locator, build_locator_csr, densify_csr
     from ..utils.layout import pack_table
 
-    path = (os.path.join(_CACHE_DIR, f"qloc_{cache_key}.npz")
+    path = (os.path.join(_CACHE_DIR, f"qloc2_{cache_key}.npz")
             if cache_key and dims is None else None)
     if path and os.path.exists(path):
         z = np.load(path)

@@ -65,14 +65,87 @@ class LocatorCSR(NamedTuple):
     dims: jnp.ndarray      # (2,) i32 (n_lat, n_lon)
 
 
-def _bbox_entries(ds: ICDataset, n_lat: int, n_lon: int,
-                  lat_lo, lat_hi, lon_lo, lon_hi) -> np.ndarray:
-    """(M, 2) i64 (bin_id, cell_id) pairs sorted by (bin, cell id) — the
-    shared core of the dense and CSR builders.
+def _edge_extrema(lat: np.ndarray, lon: np.ndarray,
+                  chunk: int = 1 << 22):
+    """Per-cell (lat_min, lat_max, extra_lons, pole) accounting for
+    great-circle EDGE BULGE: the latitude extremum of a minor arc can lie
+    strictly between its endpoints (the arc's closest approach to a
+    pole), and the cell's longitude hull widens at exactly that point.
+    The round-2 vertex-bbox rasterization missed those slivers, so the
+    locator returned "no candidate" for points a brute-force containment
+    test puts INSIDE a cell (found by the round-3 fine-map cross-check,
+    docs/ROUND3.md; at subdiv 1 one camera ray hit 531 such points).
 
-    Fully vectorized (repeat-based rectangle expansion + one packed-key
-    sort): the per-offset masking loop of round 1 was O(max_span * N) and
-    polar cells span THOUSANDS of lon bins at R2B9."""
+    Returns (lat_min (N,), lat_max (N,), lon_ext (N, 3) extremum lons —
+    copies of lon[:, 0] where no interior extremum — and pole (N,) i8:
+    +1 north pole inside, -1 south, 0 neither)."""
+    n = lat.shape[0]
+    lat_min = lat.min(axis=1).astype(np.float64)
+    lat_max = lat.max(axis=1).astype(np.float64)
+    lon_ext = np.tile(lon[:, :1].astype(np.float64), (1, 3))
+    pole = np.zeros(n, np.int8)
+    for s0 in range(0, n, chunk):
+        s = slice(s0, min(s0 + chunk, n))
+        la = lat[s].astype(np.float64)
+        lo = lon[s].astype(np.float64)
+        cl = np.cos(la)
+        u = np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)],
+                     axis=-1)                        # (m, 3 verts, 3)
+        # pole containment: all three side planes (through the origin,
+        # CCW vertex order) contain +-z
+        mm = np.cross(u, u[:, [1, 2, 0]])            # (m, 3 edges, 3)
+        zin = mm[..., 2]
+        pole[s] = np.where((zin <= 0).all(axis=1), 1,
+                           np.where((zin >= 0).all(axis=1), -1, 0))
+        for e, (i, j) in enumerate(((0, 1), (1, 2), (2, 0))):
+            m3 = mm[:, e]                            # cross(u_i, u_j)
+            nrm = np.linalg.norm(m3, axis=1)
+            mz = m3[:, 2] / np.maximum(nrm, 1e-300)
+            # z-extremum point of the great circle: projection of z-hat
+            # onto the circle plane (two antipodes; a minor arc holds
+            # at most one)
+            zml = np.sqrt(np.maximum(1.0 - mz * mz, 0.0))
+            ex = -mz * m3[:, 0] / np.maximum(nrm, 1e-300)
+            ey = -mz * m3[:, 1] / np.maximum(nrm, 1e-300)
+            ez = zml * zml       # = 1 - mz^2, the unnormalized z comp
+            den = np.maximum(zml, 1e-300)
+            for sign in (1.0, -1.0):
+                px, py, pz = sign * ex / den, sign * ey / den, \
+                    sign * ez / den
+                p = np.stack([px, py, pz], axis=1)
+                # interior test: e strictly between u_i and u_j along
+                # the minor arc <=> cross(u_i, p) and cross(p, u_j)
+                # both align with the arc plane normal
+                c1 = np.einsum('ij,ij->i', np.cross(u[:, i], p), m3)
+                c2 = np.einsum('ij,ij->i', np.cross(p, u[:, j]), m3)
+                interior = (c1 > 0) & (c2 > 0) & (zml > 1e-12)
+                if not interior.any():
+                    continue
+                plat = np.arcsin(np.clip(pz, -1.0, 1.0))
+                plon = np.arctan2(py, px)
+                lat_min[s] = np.where(interior,
+                                      np.minimum(lat_min[s], plat),
+                                      lat_min[s])
+                lat_max[s] = np.where(interior,
+                                      np.maximum(lat_max[s], plat),
+                                      lat_max[s])
+                lon_ext[s.start:s.stop, e] = np.where(
+                    interior, plon, lon_ext[s.start:s.stop, e])
+    return lat_min, lat_max, lon_ext, pole
+
+
+def _range_records(ds: ICDataset, n_lat: int, n_lon: int,
+                   lat_lo, lat_hi, lon_lo, lon_hi) -> np.ndarray:
+    """(R, 5) i64 records (cell_id, la0, la1, lb0, lb1) — each cell's bin
+    rectangle(s), sorted by cell id.  THE single source of binning truth:
+    both the numpy expansion (_bbox_entries) and the native C++ scatter
+    (utils.native.native_locator_bins) consume these records, so the
+    edge-bulge geometry below cannot diverge between the two paths.
+
+    Cell extents are the spherical hull of vertices AND edge-bulge
+    extrema (_edge_extrema); pole-containing cells span the full
+    longitude circle; dateline straddlers contribute two wrapped lon
+    ranges."""
     n = ds.num_cells
 
     def lat_bin(v):
@@ -83,11 +156,20 @@ def _bbox_entries(ds: ICDataset, n_lat: int, n_lon: int,
         return np.clip(((v - lon_lo) / (lon_hi - lon_lo) * n_lon).astype(np.int64),
                        0, n_lon - 1)
 
-    la0 = lat_bin(ds.lat.min(axis=1))
-    la1 = lat_bin(ds.lat.max(axis=1))
-    lo_min = ds.lon.min(axis=1)
-    lo_max = ds.lon.max(axis=1)
-    crossing = (lo_max - lo_min) > np.pi
+    elat_min, elat_max, elon, pole = _edge_extrema(ds.lat, ds.lon)
+    lat_all = np.concatenate([ds.lat, elat_min[:, None], elat_max[:, None]],
+                             axis=1)
+    lon_all = np.concatenate([ds.lon, elon], axis=1)   # (N, 6)
+    lat_all[pole > 0, -1] = lat_hi                     # pole rows reach the
+    lat_all[pole < 0, -2] = lat_lo                     # window's lat edge
+    la0 = lat_bin(lat_all.min(axis=1))
+    la1 = lat_bin(lat_all.max(axis=1))
+    lo_min = np.where(pole != 0, lon_lo, lon_all.min(axis=1))
+    lo_max = np.where(pole != 0, lon_hi, lon_all.max(axis=1))
+    # pole cells legitimately span the whole circle — keep them one
+    # full-range record; the two-range split is only for dateline
+    # STRADDLERS whose naive [min, max] hull would cover ~every lon bin
+    crossing = ((lo_max - lo_min) > np.pi) & (pole == 0)
 
     ids = np.arange(n, dtype=np.int64)
     reg = ~crossing
@@ -98,13 +180,28 @@ def _bbox_entries(ds: ICDataset, n_lat: int, n_lon: int,
     if crossing.any():
         c = crossing
         nc = int(c.sum())
-        pos_min = np.where(ds.lon[c] > 0, ds.lon[c], np.inf).min(axis=1)
-        neg_max = np.where(ds.lon[c] < 0, ds.lon[c], -np.inf).max(axis=1)
+        pos_min = np.where(lon_all[c] > 0, lon_all[c], np.inf).min(axis=1)
+        neg_max = np.where(lon_all[c] < 0, lon_all[c], -np.inf).max(axis=1)
         recs.append(np.stack([ids[c], la0[c], la1[c], lon_bin(pos_min),
                               np.full(nc, n_lon - 1, np.int64)], axis=1))
         recs.append(np.stack([ids[c], la0[c], la1[c],
                               np.zeros(nc, np.int64), lon_bin(neg_max)], axis=1))
     rec = np.concatenate(recs, axis=0)
+    if len(rec):
+        rec = rec[np.argsort(rec[:, 0], kind="stable")]
+    return rec
+
+
+def _bbox_entries(ds: ICDataset, n_lat: int, n_lon: int,
+                  lat_lo, lat_hi, lon_lo, lon_hi) -> np.ndarray:
+    """(M, 2) i64 (bin_id, cell_id) pairs sorted by (bin, cell id) — the
+    shared core of the dense and CSR builders.
+
+    Fully vectorized (repeat-based rectangle expansion + one packed-key
+    sort): the per-offset masking loop of round 1 was O(max_span * N) and
+    polar cells span THOUSANDS of lon bins at R2B9."""
+    n = ds.num_cells
+    rec = _range_records(ds, n_lat, n_lon, lat_lo, lat_hi, lon_lo, lon_hi)
     if not len(rec):
         return np.zeros((0, 2), np.int64)
 
@@ -199,9 +296,11 @@ def build_locator(ds: ICDataset, dims: tuple[int, int] | None = None,
     """Bin cells by their (lat, lon) corner bounding boxes.
 
     dims defaults to roughly sqrt(2 N) per axis so mean occupancy stays a
-    few cells per bin independent of the R2B level.  With use_native the
-    two-pass binning runs in the C++ host module (native/icon_host.cpp) —
-    identical output, load-time speed at R2B9 scale.
+    few cells per bin independent of the R2B level.  Bin rectangles are
+    always computed by _range_records (one source of truth, incl. the
+    edge-bulge extrema); with use_native the two-pass rectangle scatter
+    runs in the C++ host module (native/icon_host.cpp) — identical
+    output, load-time speed at R2B9 scale.
     """
     n = ds.num_cells
     if dims is None:
@@ -216,8 +315,9 @@ def build_locator(ds: ICDataset, dims: tuple[int, int] | None = None,
 
     if use_native and n:
         from ..utils.native import native_locator_bins
-        res = native_locator_bins(ds.lat, ds.lon, lat_lo, lat_hi,
-                                  lon_lo, lon_hi, n_lat, n_lon)
+        rec = _range_records(ds, n_lat, n_lon, lat_lo, lat_hi,
+                             lon_lo, lon_hi)
+        res = native_locator_bins(rec, n_lat, n_lon)
         if res is not None:
             bins, _ = res
             return Locator(

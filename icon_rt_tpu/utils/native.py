@@ -48,15 +48,10 @@ def get_lib():
     c_i64p = ctypes.POINTER(ctypes.c_int64)
     c_i32p = ctypes.POINTER(ctypes.c_int32)
     c_u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.ih_locator_count.argtypes = [c_f32p, c_f32p, ctypes.c_int64,
-                                     ctypes.c_float, ctypes.c_float,
-                                     ctypes.c_float, ctypes.c_float,
-                                     ctypes.c_int, ctypes.c_int, c_i64p]
-    lib.ih_locator_fill.argtypes = [c_f32p, c_f32p, ctypes.c_int64,
-                                    ctypes.c_float, ctypes.c_float,
-                                    ctypes.c_float, ctypes.c_float,
-                                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                                    c_i64p, c_i32p]
+    lib.ih_locator_count.argtypes = [c_i64p, ctypes.c_int64, ctypes.c_int,
+                                     c_i64p]
+    lib.ih_locator_fill.argtypes = [c_i64p, ctypes.c_int64, ctypes.c_int,
+                                    ctypes.c_int, c_i64p, c_i32p]
     lib.ih_rasterize_ranges.argtypes = [c_i64p, c_i64p, c_f32p, c_f32p,
                                         ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int64,
@@ -73,24 +68,23 @@ def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def native_locator_bins(lat, lon, lat_lo, lat_hi, lon_lo, lon_hi,
-                        n_lat, n_lon):
-    """Returns (bins (n_bins, k) int32, k) or None if unavailable."""
+def native_locator_bins(rec, n_lat, n_lon):
+    """Scatter (R, 5) i64 bin-rectangle records (cell, la0, la1, lb0, lb1)
+    — from models.locator._range_records, sorted by cell id — into a
+    grid-of-lists.  Returns (bins (n_bins, k) int32, k) or None if the
+    native module is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
-    lat = np.ascontiguousarray(lat, np.float32)
-    lon = np.ascontiguousarray(lon, np.float32)
-    n = lat.shape[0]
+    rec = np.ascontiguousarray(rec, np.int64)
+    n_rec = rec.shape[0]
     counts = np.zeros(n_lat * n_lon, np.int64)
-    lib.ih_locator_count(_ptr(lat, ctypes.c_float), _ptr(lon, ctypes.c_float),
-                         n, lat_lo, lat_hi, lon_lo, lon_hi, n_lat, n_lon,
+    lib.ih_locator_count(_ptr(rec, ctypes.c_int64), n_rec, n_lon,
                          _ptr(counts, ctypes.c_int64))
-    k = max(int(counts.max()) if n else 0, 1)
+    k = max(int(counts.max()) if n_rec else 0, 1)
     bins = np.full((n_lat * n_lon, k), -1, np.int32)
     counts[:] = 0
-    lib.ih_locator_fill(_ptr(lat, ctypes.c_float), _ptr(lon, ctypes.c_float),
-                        n, lat_lo, lat_hi, lon_lo, lon_hi, n_lat, n_lon, k,
+    lib.ih_locator_fill(_ptr(rec, ctypes.c_int64), n_rec, n_lon, k,
                         _ptr(counts, ctypes.c_int64),
                         _ptr(bins, ctypes.c_int32))
     return bins, k

@@ -19,90 +19,41 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// Locator binning (grid-of-lists over lat/lon), two-pass.
+// Locator binning (grid-of-lists over lat/lon), two-pass rectangle scatter.
 //
-// Pass 1 counts entries per bin (dateline-crossing cells split into two
-// wrapped lon ranges, matching icon_rt_tpu.models.locator.build_locator);
-// pass 2 fills a (n_bins, k) int32 table, -1 padded, in ascending cell-id
-// order so query ties resolve exactly like the brute-force scan.
+// The GEOMETRY (lat/lon hulls incl. great-circle edge-bulge extrema, pole
+// containment, dateline splits) is computed once in Python
+// (icon_rt_tpu.models.locator._range_records) — one source of truth — and
+// arrives here as (R, 5) i64 records (cell_id, la0, la1, lb0, lb1) sorted
+// by cell id.  Pass 1 counts entries per bin; pass 2 fills a (n_bins, k)
+// int32 table, -1 padded, in ascending cell-id order so query ties
+// resolve exactly like the brute-force scan.
 // ---------------------------------------------------------------------------
 
-static inline int clampi(int v, int lo, int hi) {
-  return v < lo ? lo : (v > hi ? hi : v);
-}
-
-struct LonRanges {
-  int b0[2], b1[2];
-  int n;
-};
-
-static inline void lon_bin_ranges(const float* lon, int64_t i, float lon_lo,
-                                  float lon_hi, int n_lon, LonRanges* out) {
-  const float l0 = lon[i * 3], l1 = lon[i * 3 + 1], l2 = lon[i * 3 + 2];
-  float mn = std::min(l0, std::min(l1, l2));
-  float mx = std::max(l0, std::max(l1, l2));
-  const float scale = n_lon / (lon_hi - lon_lo);
-  auto lbin = [&](float v) {
-    return clampi((int)((v - lon_lo) * scale), 0, n_lon - 1);
-  };
-  if (mx - mn > (float)M_PI) {
-    // dateline-crossing: [min positive .. pi] and [-pi .. max negative]
-    float pos_min = 1e30f, neg_max = -1e30f;
-    const float ls[3] = {l0, l1, l2};
-    for (int k = 0; k < 3; ++k) {
-      if (ls[k] > 0) pos_min = std::min(pos_min, ls[k]);
-      if (ls[k] < 0) neg_max = std::max(neg_max, ls[k]);
-    }
-    out->n = 2;
-    out->b0[0] = lbin(pos_min); out->b1[0] = n_lon - 1;
-    out->b0[1] = 0;             out->b1[1] = lbin(neg_max);
-  } else {
-    out->n = 1;
-    out->b0[0] = lbin(mn);
-    out->b1[0] = lbin(mx);
-  }
-}
-
 // counts: (n_lat*n_lon) int64, zero-initialized by the caller
-void ih_locator_count(const float* lat, const float* lon, int64_t n_cells,
-                      float lat_lo, float lat_hi, float lon_lo, float lon_hi,
-                      int n_lat, int n_lon, int64_t* counts) {
-  const float lat_scale = n_lat / (lat_hi - lat_lo);
-  for (int64_t i = 0; i < n_cells; ++i) {
-    const float a0 = lat[i * 3], a1 = lat[i * 3 + 1], a2 = lat[i * 3 + 2];
-    int la0 = clampi((int)((std::min(a0, std::min(a1, a2)) - lat_lo) * lat_scale),
-                     0, n_lat - 1);
-    int la1 = clampi((int)((std::max(a0, std::max(a1, a2)) - lat_lo) * lat_scale),
-                     0, n_lat - 1);
-    LonRanges lr;
-    lon_bin_ranges(lon, i, lon_lo, lon_hi, n_lon, &lr);
-    for (int la = la0; la <= la1; ++la)
-      for (int q = 0; q < lr.n; ++q)
-        for (int lb = lr.b0[q]; lb <= lr.b1[q]; ++lb)
-          counts[(int64_t)la * n_lon + lb]++;
+void ih_locator_count(const int64_t* rec, int64_t n_rec, int n_lon,
+                      int64_t* counts) {
+  for (int64_t r = 0; r < n_rec; ++r) {
+    const int64_t la0 = rec[r * 5 + 1], la1 = rec[r * 5 + 2];
+    const int64_t lb0 = rec[r * 5 + 3], lb1 = rec[r * 5 + 4];
+    for (int64_t la = la0; la <= la1; ++la)
+      for (int64_t lb = lb0; lb <= lb1; ++lb)
+        counts[la * n_lon + lb]++;
   }
 }
 
 // bins: (n_bins * k) int32 preset to -1; cursors: counts buffer reset to 0
-void ih_locator_fill(const float* lat, const float* lon, int64_t n_cells,
-                     float lat_lo, float lat_hi, float lon_lo, float lon_hi,
-                     int n_lat, int n_lon, int k, int64_t* cursors,
-                     int32_t* bins) {
-  const float lat_scale = n_lat / (lat_hi - lat_lo);
-  for (int64_t i = 0; i < n_cells; ++i) {  // ascending id order matters
-    const float a0 = lat[i * 3], a1 = lat[i * 3 + 1], a2 = lat[i * 3 + 2];
-    int la0 = clampi((int)((std::min(a0, std::min(a1, a2)) - lat_lo) * lat_scale),
-                     0, n_lat - 1);
-    int la1 = clampi((int)((std::max(a0, std::max(a1, a2)) - lat_lo) * lat_scale),
-                     0, n_lat - 1);
-    LonRanges lr;
-    lon_bin_ranges(lon, i, lon_lo, lon_hi, n_lon, &lr);
-    for (int la = la0; la <= la1; ++la)
-      for (int q = 0; q < lr.n; ++q)
-        for (int lb = lr.b0[q]; lb <= lr.b1[q]; ++lb) {
-          const int64_t b = (int64_t)la * n_lon + lb;
-          bins[b * k + cursors[b]++] = (int32_t)i;
-        }
+void ih_locator_fill(const int64_t* rec, int64_t n_rec, int n_lon, int k,
+                     int64_t* cursors, int32_t* bins) {
+  for (int64_t r = 0; r < n_rec; ++r) {  // ascending cell-id order matters
+    const int32_t cell = (int32_t)rec[r * 5];
+    const int64_t la0 = rec[r * 5 + 1], la1 = rec[r * 5 + 2];
+    const int64_t lb0 = rec[r * 5 + 3], lb1 = rec[r * 5 + 4];
+    for (int64_t la = la0; la <= la1; ++la)
+      for (int64_t lb = lb0; lb <= lb1; ++lb) {
+        const int64_t b = la * n_lon + lb;
+        bins[b * k + cursors[b]++] = cell;
+      }
   }
 }
 

@@ -163,3 +163,14 @@ def test_animate_fastq_sharded_4k_two_timesteps():
     assert (frames[0] != 0).any()
     # the field halves between timesteps -> images differ
     assert not np.array_equal(frames[0], frames[1])
+
+    # with the two-stage locate (one geometry-only map serves every
+    # timestep): bit-identical frames
+    from icon_rt_tpu.models.finemap import build_finemap
+    fm = build_finemap(loc, q.test12, k_cap)
+    frames_fm = list(animate_fastq_sharded(q, [vq0, vq1], loc, k_cap, bands,
+                                           tf, lp_for, mesh, stats, W, H,
+                                           samples_per_frame=1, chunk=256,
+                                           finemap=fm))
+    for a, b in zip(frames_fm, frames):
+        np.testing.assert_array_equal(a, b)

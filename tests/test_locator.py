@@ -37,6 +37,27 @@ def test_locator_matches_brute_force():
         assert float(jnp.mean(hit_b)) > 0.05  # some points actually inside
 
 
+def test_locator_edge_bulge():
+    """Great-circle cell edges BULGE in latitude past their endpoints (an
+    arc's closest approach to a pole lies between its vertices), so the
+    round-2 vertex-bbox binning missed sliver regions — the locator
+    returned no-hit for points brute-force containment puts inside a
+    cell (round-3 fine-map cross-check found 531 such points on one
+    camera ray at subdiv 1).  Coarse cells make the slivers fat: at
+    subdiv 1 this test fails the old binning on ~1% of points."""
+    ds = synthetic.icosphere(subdivisions=1, num_layers=3)
+    stats = compute_stats(ds)
+    cells = build_cells(ds)
+    loc = build_locator(ds)
+    pts = _random_points(stats, 20000, seed=11)
+    hit_b, val_b = jax.vmap(lambda p: sample_brute_force(cells, p))(
+        jnp.asarray(pts))
+    hit_l, val_l = jax.vmap(lambda p: sample_locator(cells, loc, p))(
+        jnp.asarray(pts))
+    np.testing.assert_array_equal(np.asarray(hit_b), np.asarray(hit_l))
+    np.testing.assert_array_equal(np.asarray(val_b), np.asarray(val_l))
+
+
 def test_locator_dateline_cells():
     """Cells straddling lon = +-pi must be findable from both sides."""
     ds = synthetic.icosphere(subdivisions=2, num_layers=2)
