@@ -24,8 +24,12 @@ def _build() -> bool:
     if not os.path.exists(src):
         return False
     try:
-        subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-fopenmp",
-                        "-o", _SO_PATH, src], check=True,
+        # -ffp-contract=off: the edge-extrema mirror must be bit-equal to
+        # the numpy oracle (FMA contraction shifts last-ulp results, and
+        # an atan2 at exactly +-pi flips dateline bin assignment)
+        subprocess.run(["g++", "-O3", "-ffp-contract=off", "-fPIC",
+                        "-shared", "-fopenmp", "-o", _SO_PATH, src],
+                       check=True,
                        capture_output=True, timeout=120)
         return True
     except Exception:
@@ -59,6 +63,10 @@ def get_lib():
     lib.ih_crop_mask.argtypes = [c_f32p, c_f32p, ctypes.c_int64,
                                  ctypes.c_float, ctypes.c_float,
                                  ctypes.c_float, ctypes.c_float, c_u8p]
+    c_f64p = ctypes.POINTER(ctypes.c_double)
+    c_i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.ih_edge_extrema.argtypes = [c_f32p, c_f32p, ctypes.c_int64,
+                                    c_f64p, c_f64p, c_f64p, c_i8p]
     lib.ih_version.restype = ctypes.c_int
     _LIB = lib
     return _LIB
@@ -88,6 +96,29 @@ def native_locator_bins(rec, n_lat, n_lon):
                         _ptr(counts, ctypes.c_int64),
                         _ptr(bins, ctypes.c_int32))
     return bins, k
+
+
+def native_edge_extrema(lat, lon):
+    """Great-circle edge-bulge extrema per cell (mirror of the numpy
+    oracle models.locator._edge_extrema, same f64 formula order).
+    Returns (lat_min (n,) f64, lat_max (n,) f64, lon_ext (n, 3) f64,
+    pole (n,) i8) or None if the native module is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lat = np.ascontiguousarray(lat, np.float32)
+    lon = np.ascontiguousarray(lon, np.float32)
+    n = lat.shape[0]
+    lat_min = np.empty(n, np.float64)
+    lat_max = np.empty(n, np.float64)
+    lon_ext = np.empty((n, 3), np.float64)
+    pole = np.empty(n, np.int8)
+    lib.ih_edge_extrema(_ptr(lat, ctypes.c_float), _ptr(lon, ctypes.c_float),
+                        n, _ptr(lat_min, ctypes.c_double),
+                        _ptr(lat_max, ctypes.c_double),
+                        _ptr(lon_ext, ctypes.c_double),
+                        _ptr(pole, ctypes.c_int8))
+    return lat_min, lat_max, lon_ext, pole
 
 
 def native_rasterize(lo_idx, up_idx, val_lo, val_hi, dims, vr_lo, vr_hi):

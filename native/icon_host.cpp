@@ -58,6 +58,86 @@ void ih_locator_fill(const int64_t* rec, int64_t n_rec, int n_lon, int k,
 }
 
 // ---------------------------------------------------------------------------
+// Great-circle edge extrema (the geometry feeding _range_records): a cell
+// edge's latitude extremum can lie strictly BETWEEN its endpoints (the
+// minor arc's closest approach to a pole), so binning by vertex bboxes
+// misses sliver regions.  Mirror of the numpy oracle
+// icon_rt_tpu.models.locator._edge_extrema (same f64 formula order); the
+// per-cell loop avoids the ~10 ns/cell/temporary numpy tax — at R2B9
+// (84M cells) this is the difference between ~7 min and seconds of the
+// locator build.
+//
+// Outputs: lat_min/lat_max (n) f64, lon_ext (n, 3) f64 (edge extremum
+// lons, vertex-0 lon where no interior extremum), pole (n) i8
+// (+1 north pole inside the spherical triangle, -1 south, 0 neither).
+// ---------------------------------------------------------------------------
+
+void ih_edge_extrema(const float* lat, const float* lon, int64_t n,
+                     double* lat_min, double* lat_max, double* lon_ext,
+                     int8_t* pole) {
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < n; ++c) {
+    const float la32[3] = {lat[c * 3], lat[c * 3 + 1], lat[c * 3 + 2]};
+    float lmn = std::min(la32[0], std::min(la32[1], la32[2]));
+    float lmx = std::max(la32[0], std::max(la32[1], la32[2]));
+    double lo_v = (double)lmn, hi_v = (double)lmx;
+    double u[3][3], mm[3][3];
+    for (int k = 0; k < 3; ++k) {
+      const double la = (double)lat[c * 3 + k];
+      const double lo = (double)lon[c * 3 + k];
+      const double cl = std::cos(la);
+      u[k][0] = cl * std::cos(lo);
+      u[k][1] = cl * std::sin(lo);
+      u[k][2] = std::sin(la);
+      lon_ext[c * 3 + k] = (double)lon[c * 3];  // default: vertex-0 lon
+    }
+    bool all_le = true, all_ge = true;
+    for (int e = 0; e < 3; ++e) {
+      const int j = (e + 1) % 3;
+      mm[e][0] = u[e][1] * u[j][2] - u[e][2] * u[j][1];
+      mm[e][1] = u[e][2] * u[j][0] - u[e][0] * u[j][2];
+      mm[e][2] = u[e][0] * u[j][1] - u[e][1] * u[j][0];
+      all_le &= (mm[e][2] <= 0.0);
+      all_ge &= (mm[e][2] >= 0.0);
+    }
+    pole[c] = all_le ? 1 : (all_ge ? -1 : 0);
+    for (int e = 0; e < 3; ++e) {
+      const int i = e, j = (e + 1) % 3;
+      const double* m3 = mm[e];
+      const double nrm = std::sqrt(m3[0] * m3[0] + m3[1] * m3[1] +
+                                   m3[2] * m3[2]);
+      const double dn = std::max(nrm, 1e-300);
+      const double mz = m3[2] / dn;
+      const double zml = std::sqrt(std::max(1.0 - mz * mz, 0.0));
+      const double ex = -mz * m3[0] / dn, ey = -mz * m3[1] / dn;
+      const double ez = zml * zml;
+      const double den = std::max(zml, 1e-300);
+      for (int s = 0; s < 2; ++s) {
+        const double sign = s ? -1.0 : 1.0;
+        const double px = sign * ex / den, py = sign * ey / den,
+                     pz = sign * ez / den;
+        // interior test: cross(u_i, p).m3 > 0 and cross(p, u_j).m3 > 0
+        const double c1 = (u[i][1] * pz - u[i][2] * py) * m3[0] +
+                          (u[i][2] * px - u[i][0] * pz) * m3[1] +
+                          (u[i][0] * py - u[i][1] * px) * m3[2];
+        const double c2 = (py * u[j][2] - pz * u[j][1]) * m3[0] +
+                          (pz * u[j][0] - px * u[j][2]) * m3[1] +
+                          (px * u[j][1] - py * u[j][0]) * m3[2];
+        if (c1 > 0.0 && c2 > 0.0 && zml > 1e-12) {
+          const double plat =
+              std::asin(std::min(1.0, std::max(-1.0, pz)));
+          lo_v = std::min(lo_v, plat);
+          hi_v = std::max(hi_v, plat);
+          lon_ext[c * 3 + e] = std::atan2(py, px);
+        }
+      }
+    }
+    lat_min[c] = lo_v;
+    lat_max[c] = hi_v;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Majorant-grid rasterization: scatter (val_lo, val_hi) min/max into every
 // bin of per-item index boxes (the reference's rasterizeBox/buildShell CAS
 // atomics, ref: hostCode.cu:227-336, as plain scatter — builds are

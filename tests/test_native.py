@@ -57,3 +57,40 @@ def test_native_crop_mask():
     keep = native_crop_mask(ds.lat, ds.lon, (lo, hi), (-np.pi, np.pi))
     ref = np.all(ds.lat >= lo, axis=1) & np.all(ds.lat <= hi, axis=1)
     np.testing.assert_array_equal(keep, ref)
+
+
+@needs_native
+def test_native_edge_extrema_matches_numpy():
+    """The C++ mirror of _edge_extrema vs the numpy oracle.  Algebraic
+    results (pole flags, which edges hold an interior extremum) must be
+    identical; the asin/atan2 of the extremum point may differ by 1 ulp
+    (numpy routes f64 transcendentals through SVML, libm differs in the
+    last bit) — harmless, since the analytic boundary itself is only
+    ~1e-16 accurate and bin rectangles are derived from these values by
+    wide binning."""
+    from icon_rt_tpu.models.locator import _edge_extrema
+
+    # real mesh triangles (includes the pole-containing icosphere caps)
+    ds = synthetic.icosphere(subdivisions=3, num_layers=1)
+    for lat, lon in [
+        (ds.lat, ds.lon),
+        # random skinny triangles straddling the dateline and equator
+        tuple(np.stack(a, axis=1).astype(np.float32) for a in (
+            (lambda r: ((r.uniform(-1.5, 1.5, 4096),
+                         r.uniform(-1.5, 1.5, 4096),
+                         r.uniform(-1.5, 1.5, 4096)),
+                        (r.uniform(-np.pi, np.pi, 4096),
+                         r.uniform(-np.pi, np.pi, 4096),
+                         r.uniform(-np.pi, np.pi, 4096))))(
+                np.random.default_rng(7)))),
+    ]:
+        nat = _edge_extrema(lat, lon, use_native=True)
+        ref = _edge_extrema(lat, lon, use_native=False)
+        np.testing.assert_allclose(nat[0], ref[0], rtol=0, atol=5e-15)
+        np.testing.assert_allclose(nat[1], ref[1], rtol=0, atol=5e-15)
+        # lon extrema: compare as angles (atan2 at exactly +-pi may flip
+        # sign between implementations)
+        d = np.abs(np.asarray(nat[2]) - np.asarray(ref[2]))
+        d = np.minimum(d, 2 * np.pi - d)
+        assert float(d.max()) < 5e-15, float(d.max())
+        np.testing.assert_array_equal(nat[3], ref[3])

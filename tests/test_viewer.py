@@ -37,8 +37,14 @@ def live():
 
 
 def _get(url, timeout=120):
-    with urllib.request.urlopen(url, timeout=timeout) as r:
-        return r.status, dict(r.headers), r.read()
+    # the long-poll replies 204 (no headers) if no newer frame arrives
+    # within its 15 s window — under load (full suite on one core) the
+    # first frame can take longer, so retry like the JS client does
+    deadline = time.time() + timeout
+    while True:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            if r.status != 204 or time.time() > deadline:
+                return r.status, dict(r.headers), r.read()
 
 
 def _post(url, obj):
