@@ -27,6 +27,32 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _preflight_backend(timeout_s: int = 240) -> bool:
+    """Probe backend init in a SUBPROCESS with a hard timeout, BEFORE any
+    heavy import can touch the backend.  The SIGALRM watchdog cannot
+    interrupt a C-level hang inside backend init (the axon worker wedges
+    silently, README gotchas), so a wedged worker would otherwise hang
+    the whole bench past any deadline."""
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, capture_output=True, timeout=timeout_s)
+        return True
+    except Exception:
+        return False
+
+
+if __name__ == "__main__" and not _preflight_backend():
+    print(json.dumps({
+        "metric": "BENCH ABORTED: backend init probe timed out — the TPU "
+                  "worker is down/wedged (README 'Hardware gotchas'); no "
+                  "rows were run",
+        "value": 0.0, "unit": "Mray/s", "vs_baseline": 0.0,
+    }), flush=True)
+    sys.exit(0)
+
 from icon_rt_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()

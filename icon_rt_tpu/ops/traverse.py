@@ -29,10 +29,14 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.lcg import lcg_next
 
-FLT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
+# numpy, not jnp: a module-level device constant would force backend
+# init at import time (and hang every package import when the axon
+# worker is wedged); numpy scalars trace identically
+FLT_MAX = np.float32(np.finfo(np.float32).max)
 
 
 class TraceResult(NamedTuple):
