@@ -68,6 +68,17 @@ def test_page_and_first_frame(live):
 def test_progressive_accumulation_advances(live):
     st, base = live
     _, h1, _ = _get(base + "/frame.png?since=-1")
+    if int(h1["X-Accum-Id"]) >= 5:
+        # already converged to the fixture's --sample-limit 6 (happens when
+        # the module runs inside a loaded full-suite process): no newer
+        # frame would ever arrive — nudge the view so accumulation restarts
+        # (X-Frame-Id is monotonic across resets, so since=old is safe)
+        for etype in ("down", "move", "up"):
+            _post(base + "/event", {"type": "view", "etype": etype,
+                                    "x": 16 if etype == "down" else 17,
+                                    "y": 16, "button": 0, "alt": False})
+        _, h1, _ = _get(base + f"/frame.png?since={h1['X-Frame-Id']}")
+        assert int(h1["X-Accum-Id"]) < 5
     fid = int(h1["X-Frame-Id"])
     _, h2, _ = _get(base + f"/frame.png?since={fid}")
     assert int(h2["X-Frame-Id"]) > fid
