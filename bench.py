@@ -88,9 +88,11 @@ def _emit(note: str = ""):
         traced = f"{r['mray_traced']} traced"
         rate = (f"{traced} / {full}" if r["coverage"] < 0.25
                 else f"{full} / {traced}")
+        stroke = (f" (stroke {r['tf_stroke_s']}s)"
+                  if "tf_stroke_s" in r else "")
         return (f"{name}[{r['cells']}c,{r['framing']},cov={r['coverage']}]: "
                 f"{rate} Mray/s (spread {r.get('spread', -1)}), "
-                f"{r['fps']} fps, tf-edit {r['tf_edit_s']}s")
+                f"{r['fps']} fps, tf-edit {r['tf_edit_s']}s{stroke}")
     desc = "; ".join(_row(name, r) for name, r in RESULTS.items())
     if note:
         desc = f"{note}; {desc}"
@@ -334,9 +336,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     # select-reduce rewrite over (N, Lm) + band majorants + one frame.
     # The LUT values change between edits (not just opacity_scale) so the
     # unchanged-table fast path cannot hide the rewrite cost.
-    def tf_edit(gain, scale):
-        tf2 = tf._replace(values=tf.values * jnp.float32(gain),
-                          opacity_scale=jnp.float32(scale))
+    def tf_edit(tf2):
         q2 = bake_alpha_q(q, tf2)
         bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
         a2, f2 = render_frame_fast_q(q2, loc, k_cap, bands2, tf2,
@@ -348,10 +348,27 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                      refresh_compact=compact, finemap=fm)
         np.asarray(f2)
 
-    tf_edit(0.95, 0.9)
+    def gain_edit(gain, scale):   # worst case: every classify level moves
+        return tf._replace(values=tf.values * jnp.float32(gain),
+                           opacity_scale=jnp.float32(scale))
+
+    def stroke_edit(gain):
+        # realistic TFE gesture: a freehand stroke over a narrow value
+        # band (ref alpha_editor.cpp:263-320) — only a few of the 256
+        # normalized levels change, so the incremental bake path serves it
+        vals = np.asarray(tf.values).copy()
+        n = vals.shape[0]
+        vals[(n * 2) // 5:(n * 2) // 5 + max(n // 16, 1), 3] *= gain
+        return tf._replace(values=jnp.asarray(vals))
+
+    tf_edit(gain_edit(0.95, 0.9))
     t0 = time.perf_counter()
-    tf_edit(0.9, 0.8)
+    tf_edit(gain_edit(0.9, 0.8))
     dt_edit = time.perf_counter() - t0
+    tf_edit(stroke_edit(0.7))
+    t0 = time.perf_counter()
+    tf_edit(stroke_edit(0.5))
+    dt_stroke = time.perf_counter() - t0
 
     return {
         "cells": n_cells,
@@ -362,6 +379,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
         "fps": round(iters / dt, 2),
         "spread": round(spread, 3),
         "tf_edit_s": round(dt_edit, 3),
+        "tf_stroke_s": round(dt_stroke, 3),
     }
 
 
