@@ -120,7 +120,16 @@ def pack_cells(cells: Cells, tf: Transfunc) -> PackedCells:
 
 def _classify_channels(values, nl, tf: Transfunc):
     """postClassify per channel over (N, 32) value arrays (see
-    pack_profile_rows); returns [R, G, B, A] each (N, 32)."""
+    pack_profile_rows); returns [R, G, B, A] each (N, 32).
+
+    The LUT reads are a fused compare-select reduce over the `size`
+    levels instead of per-element 1-D gathers (`lut[i1]` lowers to
+    per-element SCALAR loads on TPU, ~39 ns each — docs/ROUND2.md; this
+    is the same pattern as models/qcells._bake_lookup, and it is what
+    makes the f32-tier TF-edit re-bake device-fast at R2B8).  The
+    one-hot sum reproduces the gather exactly up to FMA contraction
+    (<= 1 ULP on the chunked path).  Chunked over rows so the fused
+    (rows, 32, size) intermediate stays VMEM-sized."""
     size = tf.size
     vn = (values - tf.value_range[0]) \
         / (tf.value_range[1] - tf.value_range[0])
@@ -129,13 +138,37 @@ def _classify_channels(values, nl, tf: Transfunc):
     frac = vs - idx.astype(jnp.float32)
     i1 = jnp.clip(idx, 0, size - 1)
     i2 = jnp.clip(idx + 1, 0, size - 1)
-    chans = []
-    for c in range(4):
-        lut_c = tf.values[:, c]
-        scale = jnp.where(c == 3, tf.opacity_scale.astype(jnp.float32),
-                          jnp.float32(1.0))
-        chans.append(lut_c[i1] * frac + lut_c[i2] * (1.0 - frac) * scale)
-    return chans
+
+    lev = jnp.arange(size, dtype=jnp.int32)
+    scale_a = tf.opacity_scale.astype(jnp.float32)
+
+    def classify_rows(args):
+        i1c, i2c, fr = args
+        m1 = i1c[..., None] == lev
+        m2 = i2c[..., None] == lev
+        outs = []
+        for c in range(4):
+            lut_c = tf.values[:, c]
+            scale = scale_a if c == 3 else jnp.float32(1.0)
+            a1 = jnp.sum(jnp.where(m1, lut_c, jnp.float32(0.0)), axis=-1)
+            a2 = jnp.sum(jnp.where(m2, lut_c, jnp.float32(0.0)), axis=-1)
+            outs.append(a1 * fr + a2 * (1.0 - fr) * scale)
+        return outs
+
+    n, w = values.shape
+    rows = max(1, min(n, (1 << 21) // w))
+    if n <= rows:
+        return classify_rows((i1, i2, frac))
+    pad = (-n) % rows
+    if pad:
+        i1 = jnp.concatenate([i1, jnp.zeros((pad, w), i1.dtype)])
+        i2 = jnp.concatenate([i2, jnp.zeros((pad, w), i2.dtype)])
+        frac = jnp.concatenate([frac, jnp.zeros((pad, w), frac.dtype)])
+    k = (n + pad) // rows
+    out = jax.lax.map(classify_rows, (i1.reshape(k, rows, w),
+                                      i2.reshape(k, rows, w),
+                                      frac.reshape(k, rows, w)))
+    return [o.reshape(-1, w)[:n] for o in out]
 
 
 def pack_cells_wedge(cells: Cells, tf: Transfunc) -> PackedCells:
