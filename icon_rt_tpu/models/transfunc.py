@@ -98,3 +98,32 @@ def post_classify(tf: Transfunc, v):
     scale = jnp.stack([jnp.float32(1), jnp.float32(1), jnp.float32(1),
                        tf.opacity_scale.astype(jnp.float32)])
     return v1 * frac[..., None] + v2 * (1.0 - frac)[..., None] * scale
+
+
+def pack_lut(tf: Transfunc):
+    """(S, 4) LUT -> a pack_table-layout (ceil(S/32), 128) device array so
+    per-lane classification gathers are aligned 128-lane bursts instead of
+    4-wide misaligned rows (CLAUDE.md gather-width rule; the row pad never
+    reads — indices are clipped to S-1).  Pure jnp: usable inside jit."""
+    size = tf.size
+    pad = (-size) % 32
+    v = tf.values
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros((pad, 4), v.dtype)])
+    return v.reshape(-1, 128)
+
+
+def post_classify_packed(tf: Transfunc, lut_packed, v):
+    """post_classify reading from a pack_lut'd LUT (bit-identical
+    arithmetic; hot-loop variant for per-lane shade-time classification)."""
+    from ..utils.layout import packed_gather
+    size = tf.size
+    vn = (v - tf.value_range[0]) / (tf.value_range[1] - tf.value_range[0])
+    vs = vn * jnp.float32(size)
+    idx = vs.astype(jnp.int32)  # C int cast: trunc toward zero
+    frac = vs - idx.astype(jnp.float32)
+    v1 = packed_gather(lut_packed, jnp.clip(idx, 0, size - 1), 4)
+    v2 = packed_gather(lut_packed, jnp.clip(idx + 1, 0, size - 1), 4)
+    scale = jnp.stack([jnp.float32(1), jnp.float32(1), jnp.float32(1),
+                       tf.opacity_scale.astype(jnp.float32)])
+    return v1 * frac[..., None] + v2 * (1.0 - frac)[..., None] * scale

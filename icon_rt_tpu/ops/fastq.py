@@ -29,7 +29,7 @@ import numpy as np
 from ..models.locator import Locator
 from ..models.qcells import QuantizedCells
 from ..models.shells import RadialBands
-from ..models.transfunc import Transfunc, post_classify
+from ..models.transfunc import (Transfunc, pack_lut, post_classify_packed)
 from .fast import (F32, _Consts, _State, _fill_slots, _init_lanes,
                    _make_refresh, batch_loop, step_core)
 
@@ -177,11 +177,13 @@ def _refresh_q_fine(s: _State, c: _Consts, fm, q: QuantizedCells,
     return _fill_slots_partial(s, pend, pend & hit, test16, prof, cid)
 
 
-def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, oo, lm: int):
+def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, lutp, oo, lm: int):
     """Composite color of a finished lane: the accepted sample's cached
     dequantized VALUE classified through the live LUT (ref semantics:
     deviceCode.cu:333-340; RGB classify at shade time replaces the f32
-    path's baked per-layer RGB)."""
+    path's baked per-layer RGB).  `lutp` is the pack_lut'd LUT — shade
+    runs inside every service phase of the batched loop, so its per-lane
+    LUT reads must be aligned row gathers, not 4-wide ones."""
     got = s.alpha > 0.0
     # the accepting lane's c_mru points at the collided column's slot
     prof = jnp.where((s.c_mru != 0)[:, None], s.c_prof2, s.c_prof)
@@ -191,7 +193,7 @@ def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, oo, lm: int):
     ids = jax.lax.broadcasted_iota(jnp.int32, (hh.shape[0], lm), 1)
     oh = (ids == layer[:, None]).astype(F32)
     v = jnp.sum(oh * prof[:, 2 * lm:3 * lm], axis=1)          # (L,)
-    rgba = post_classify(tf, v)                               # (L, 4) gather
+    rgba = post_classify_packed(tf, lutp, v)     # (L,) aligned row gathers
     amb_r = lp.ambient_color[0] * lp.ambient_radiance
     amb_g = lp.ambient_color[1] * lp.ambient_radiance
     amb_b = lp.ambient_color[2] * lp.ambient_radiance
@@ -259,7 +261,8 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
     out, _, fin = jax.lax.while_loop(
         outer_cond, outer_body,
         (init, jnp.int32(0), jnp.where(init.done != 0, 0, -1)))
-    color_alpha = jnp.stack(_shade_q(out, consts, lp, tf, oo, lm), axis=-1)
+    color_alpha = jnp.stack(_shade_q(out, consts, lp, tf, pack_lut(tf),
+                                     oo, lm), axis=-1)
     if return_cost:
         return wrote, color_alpha, jnp.maximum(fin, 0)
     return wrote, color_alpha
@@ -295,8 +298,10 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
         primary_fn=None if finemap is None else
         (lambda s, c: _refresh_q_fine(s, c, finemap, q, org, oo)))
 
+    lutp = pack_lut(tf)
+
     def shade(s, c):
-        return _shade_q(s, c, lp, tf, oo, lm)
+        return _shade_q(s, c, lp, tf, lutp, oo, lm)
 
     def inner_phase(s, c):
         for _ in range(steps_per_refresh):   # unrolled; see ops/fast.py

@@ -34,6 +34,19 @@ def test_post_classify_matches_oracle():
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
+def test_post_classify_packed_bit_identical():
+    # the hot-loop variant (aligned packed-LUT row gathers) must equal
+    # post_classify bit-for-bit, including out-of-range clamps
+    from icon_rt_tpu.models.transfunc import pack_lut, post_classify_packed
+    tf = make_transfunc(value_range=(0.1, 0.8))._replace(
+        opacity_scale=jnp.float32(0.6))
+    v = jnp.asarray(np.random.default_rng(1)
+                    .uniform(-0.2, 1.2, 4096).astype(np.float32))
+    a = np.asarray(post_classify(tf, v))
+    b = np.asarray(post_classify_packed(tf, pack_lut(tf), v))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_render_ae_matches_oracle():
     W = H = 16
     ds, stats, cam = _scene()
