@@ -1,0 +1,30 @@
+#!/bin/sh
+# Round-3 TPU measurement session — run top-to-bottom when the worker
+# returns (see docs/ROUND3.md "TPU outage note").  Ordered so each stage's
+# result gates the next; every stage appends to /tmp/r3_tpu.log and is
+# individually time-bounded.  Compiles at R2B9 shapes cost minutes each
+# through the relay: budget ~1 h for a full pass, cache warm after that.
+set -x
+cd /root/repo
+LOG=/tmp/r3_tpu.log
+
+# 0. confirm the worker is actually alive
+timeout 120 python -c "import jax; print(jax.devices())" >> $LOG 2>&1 || exit 1
+
+# 1. the VERDICT-mandated Pallas row-DMA measurement (keep or kill)
+timeout 1800 python scripts/pallas_dma_probe.py --m 8192 >> $LOG 2>&1
+
+# 2. finemap effect on the real batched r2b9q call (the round-3 lever)
+timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes bcall \
+    --finemap 0 >> $LOG 2>&1
+timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes bcall \
+    --finemap 2 >> $LOG 2>&1
+
+# 3. knob sweep at the winning finemap setting (stats prints pend/refresh)
+timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes bcall,stats \
+    --finemap 2 --compact 1024 >> $LOG 2>&1
+
+# 4. full graded bench (headline + all rows + TF edit/stroke)
+timeout 5400 python bench.py >> $LOG 2>&1
+
+tail -40 $LOG
