@@ -1,0 +1,66 @@
+"""bench.py row functions run end-to-end at toy shapes (CPU).
+
+The graded benchmark is the one artifact the driver runs unattended on
+TPU; a shape/keyword regression there would otherwise only surface at
+grading time.  This exercises both tiers' full row logic — scene build,
+render step, median windows, TF-edit and TFE-stroke timing — at a tiny
+framebuffer and asserts the row contract bench's _emit formats."""
+import numpy as np
+import pytest
+
+import bench
+
+
+ROW_KEYS = {"cells", "framing", "coverage", "mray_full", "mray_traced",
+            "fps", "spread", "tf_edit_s"}
+
+
+@pytest.fixture()
+def tiny_frame(monkeypatch):
+    monkeypatch.setattr(bench, "WIDTH", 64)
+    monkeypatch.setattr(bench, "HEIGHT", 36)
+
+
+def test_bench_row_f32(tiny_frame):
+    r = bench.bench_row(subdiv=1, num_layers=2, iters=1, framing="closeup",
+                        chunk=64, spr=4, spp=2)
+    assert ROW_KEYS <= set(r)
+    assert r["coverage"] > 0.3          # closeup framing covers the globe
+    assert r["mray_full"] > 0 and r["tf_edit_s"] > 0
+
+
+def test_bench_row_quantized(tiny_frame, monkeypatch, tmp_path):
+    # keep the locator npz cache out of the repo-level cache dir
+    from icon_rt_tpu.data import bigscene
+    monkeypatch.setattr(bigscene, "_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("BENCH_FINEMAP", "2")
+    r = bench.bench_row_q(subdiv=1, num_layers=2, iters=1,
+                          framing="closeup", chunk=64, spr=4, spp=2)
+    assert (ROW_KEYS | {"tf_stroke_s"}) <= set(r)
+    assert r["framing"].endswith("/quantized")
+    assert r["coverage"] > 0.3
+    assert r["tf_stroke_s"] > 0
+
+
+def test_emit_formats_all_rows(capsys):
+    bench.RESULTS.clear()
+    bench.RESULTS["a_viewall"] = dict(
+        cells=1, framing="viewall", coverage=0.04, mray_full=94.0,
+        mray_traced=4.4, fps=45.0, spread=0.02, tf_edit_s=0.3)
+    bench.RESULTS["b_closeup"] = dict(
+        cells=2, framing="closeup/quantized", coverage=0.55, mray_full=8.0,
+        mray_traced=5.0, fps=4.0, spread=0.05, tf_edit_s=0.7,
+        tf_stroke_s=0.1)
+    try:
+        bench.HEADLINE, old = "b_closeup", bench.HEADLINE
+        bench._emit()
+    finally:
+        bench.HEADLINE = old
+        bench.RESULTS.clear()
+    out = capsys.readouterr().out
+    import json
+    line = json.loads(out.strip().splitlines()[-1])
+    assert line["value"] == 8.0 and line["unit"] == "Mray/s"
+    # low-coverage row leads with traced; stroke metric present
+    assert "4.4 traced / 94.0 full" in line["metric"]
+    assert "stroke 0.1s" in line["metric"]
