@@ -39,21 +39,24 @@ def time_gather(fn, table, idx, n_rows, reps, iters=3):
     """Seconds per fn(table, ids) with ids varied per rep, looped inside
     one execution; the two-repcount trick subtracts fixed overhead."""
 
+    # table/idx are jit ARGUMENTS, not closures — a closed-over device
+    # array is baked into the HLO as a constant (4.3 GB at giant scale,
+    # which wedges the remote compile).
     @jax.jit
-    def run(reps_):
+    def run(tb, ix, reps_):
         def body(i, acc):
-            ids = (idx + i * 12289) % n_rows   # re-randomize rows per rep
-            out = fn(table, ids)
+            ids = (ix + i * 12289) % n_rows   # re-randomize rows per rep
+            out = fn(tb, ids)
             return acc + out[0, 0]
         return jax.lax.fori_loop(0, reps_, body, jnp.float32(0.0))
 
-    np.asarray(run(2))          # compile + warm
-    np.asarray(run(reps))
+    np.asarray(run(table, idx, 2))          # compile + warm
+    np.asarray(run(table, idx, reps))
 
     def t(reps_):
         t0 = time.perf_counter()
         for _ in range(iters):
-            np.asarray(run(reps_))   # materialize: wedged-worker gotcha
+            np.asarray(run(table, idx, reps_))   # materialize (wedge gotcha)
         return (time.perf_counter() - t0) / iters
 
     t_hi, t_lo = t(reps), t(reps // 2)
