@@ -11,8 +11,8 @@ LOG=/tmp/r3_tpu.log
 # 0. confirm the worker is actually alive
 timeout 120 python -c "import jax; print(jax.devices())" >> $LOG 2>&1 || exit 1
 
-# 1. the VERDICT-mandated Pallas row-DMA measurement (keep or kill)
-timeout 1800 python scripts/pallas_dma_probe.py --m 8192 >> $LOG 2>&1
+# 1. (done 2026-08-18, killed) Pallas row-DMA probe: dma 35.1 vs xla
+#    9.5 ns/row at n=8.4M/m=8192 — measurement in docs/ROUND3.md.
 
 # 2. finemap effect on the real batched r2b9q call (the round-3 lever)
 timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes bcall \
