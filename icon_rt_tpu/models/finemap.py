@@ -160,16 +160,22 @@ def _first_distinct4(pool):
 
 
 def build_finemap(loc, test12, k_cap: int, factor: int = 2,
-                  max_call_lanes: int = 1 << 21) -> FineMap:
+                  max_call_lanes: int = 1 << 21,
+                  gather_budget: int = 512 << 20) -> FineMap:
     """Build the fine map on the device.
 
     loc: models/locator.Locator (PACK-8 bins).  test12: the quantized
     tier's packed (N, 16) side-plane table (QuantizedCells.test12; only
     columns 0..8 are read).  Work proceeds in latitude slabs of whole
-    fine-map rows, each bounded to ~max_call_lanes sub-centers: bounds
-    both the per-call (M, k_cap, 16) f32 gather intermediate (2 GB at
-    2M lanes) and the image temporaries (the full R2B9 sub-center image
-    is 2.7 GB — it must never exist whole next to the ~10.7 GB scene)."""
+    fine-map rows (~max_call_lanes sub-centers per dispatch, bounding the
+    image temporaries — the full R2B9 sub-center image is 2.7 GB, which
+    must never exist whole next to the ~10.7 GB scene); WITHIN a slab the
+    containment pass runs as a lax.map over chunks sized so the candidate
+    test-row gather intermediate stays under gather_budget bytes.  That
+    gather is M x k_cap PHYSICAL 128-lane rows (packed_gather fetches the
+    whole 128-wide row before the subrow select) = M*k_cap*512 bytes — an
+    unchunked R2B9 slab fused a 19 GB intermediate and OOMed the compile
+    (docs/ROUND3.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -182,6 +188,9 @@ def build_finemap(loc, test12, k_cap: int, factor: int = 2,
 
     # slab size: R map rows = 2R sub rows (+2 halo) within the budget
     R = min(max(1, (max_call_lanes // s_lon - 2) // 2), f_lat)
+    # chunk: sub-centers per lax.map step (k_cap 128-lane test rows each)
+    chunk = max(1024, min((2 * R + 2) * s_lon,
+                          (gather_budget // (k_cap * 512)) & ~1023))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def slab(buf, r0, loc_, t12):
@@ -191,11 +200,20 @@ def build_finemap(loc, test12, k_cap: int, factor: int = 2,
         at bin offset r0 * f_lon * 4."""
         lo = 2 * r0 - 1
         rows = 2 * R + 2
-        rr = lo + jnp.arange(rows * s_lon) // s_lon
+        lanes = rows * s_lon
+        rr = lo + jnp.arange(lanes) // s_lon
         rr = jnp.clip(rr, 0, s_lat - 1)              # lat edge clamp
-        cc = jnp.arange(rows * s_lon) % s_lon
-        c0 = _centers_c0(loc_, t12, k_cap, s_lat, s_lon,
-                         rr * s_lon + cc, factor_sub).reshape(rows, s_lon)
+        cc = jnp.arange(lanes) % s_lon
+        bids = rr * s_lon + cc
+        n_ch = -(-lanes // chunk)
+        pad = n_ch * chunk - lanes
+        if pad:
+            bids = jnp.concatenate([bids, jnp.zeros((pad,), bids.dtype)])
+        c0 = jax.lax.map(
+            lambda b: _centers_c0(loc_, t12, k_cap, s_lat, s_lon,
+                                  b, factor_sub),
+            bids.reshape(n_ch, chunk))
+        c0 = c0.reshape(-1)[:lanes].reshape(rows, s_lon)
         c1 = _second_candidates(c0)
         # interior: sub rows 1 .. 1+2R of the slab == global 2r0 .. 2r0+2R
         c0 = c0[1:1 + 2 * R]

@@ -15,13 +15,13 @@ timeout 120 python -c "import jax; print(jax.devices())" >> $LOG 2>&1 || exit 1
 #    9.5 ns/row at n=8.4M/m=8192 — measurement in docs/ROUND3.md.
 
 # 2. finemap effect on the real batched r2b9q call (the round-3 lever)
-timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes bcall \
+timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes batch \
     --finemap 0 >> $LOG 2>&1
-timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes bcall \
+timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes batch,hitrate,bstats \
     --finemap 2 >> $LOG 2>&1
 
-# 3. knob sweep at the winning finemap setting (stats prints pend/refresh)
-timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes bcall,stats \
+# 3. knob sweep at the winning finemap setting (bstats prints pend/refresh)
+timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes batch,bstats \
     --finemap 2 --compact 1024 >> $LOG 2>&1
 
 # 4. full graded bench (headline + all rows + TF edit/stroke)
