@@ -24,7 +24,8 @@ timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes batch,hitrate,bst
 timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes batch,bstats \
     --finemap 2 --compact 1024 >> $LOG 2>&1
 
-# 4. full graded bench (headline + all rows + TF edit/stroke)
-timeout 5400 python bench.py >> $LOG 2>&1
+# 4. full graded bench (headline + all rows + TF edit/stroke); the
+#    watchdog budget covers two cold finemap builds + q-row compiles
+timeout 5400 env BENCH_WATCHDOG_S=5200 python bench.py >> $LOG 2>&1
 
 tail -40 $LOG
