@@ -292,13 +292,24 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key)
     fm = None
     fm_factor = int(os.environ.get("BENCH_FINEMAP", "2"))
-    if fm_factor > 0:
+    while fm_factor > 0:
+        # the map is O(factor^2) HBM (2.7 GB at R2B9 x2) next to the
+        # ~11 GB scene; on ResourceExhausted fall back to a coarser map
+        # (lower primary hit rate) rather than losing the whole row
         from icon_rt_tpu.models.finemap import build_finemap
         t0 = time.perf_counter()
-        fm = build_finemap(loc, q.test12, k_cap, factor=fm_factor)
-        np.asarray(fm.dims)
-        print(f"# finemap x{fm_factor} built in "
-              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True)
+        try:
+            fm = build_finemap(loc, q.test12, k_cap, factor=fm_factor)
+            np.asarray(fm.dims)
+            print(f"# finemap x{fm_factor} built in "
+                  f"{time.perf_counter() - t0:.0f}s", file=sys.stderr,
+                  flush=True)
+            break
+        except Exception as e:
+            fm = None
+            fm_factor -= 1
+            print(f"# finemap build failed ({type(e).__name__}), "
+                  f"retrying factor={fm_factor}", file=sys.stderr, flush=True)
     n_cells = 20 * 4 ** subdiv
     cam = _camera(stats, framing)
     unit_distance = 10.0 ** (np.floor(

@@ -161,7 +161,7 @@ def _first_distinct4(pool):
 
 def build_finemap(loc, test12, k_cap: int, factor: int = 2,
                   max_call_lanes: int = 1 << 21,
-                  gather_budget: int = 512 << 20) -> FineMap:
+                  gather_budget: int = 96 << 20) -> FineMap:
     """Build the fine map on the device.
 
     loc: models/locator.Locator (PACK-8 bins).  test12: the quantized
@@ -174,8 +174,10 @@ def build_finemap(loc, test12, k_cap: int, factor: int = 2,
     test-row gather intermediate stays under gather_budget bytes.  That
     gather is M x k_cap PHYSICAL 128-lane rows (packed_gather fetches the
     whole 128-wide row before the subrow select) = M*k_cap*512 bytes — an
-    unchunked R2B9 slab fused a 19 GB intermediate and OOMed the compile
-    (docs/ROUND3.md)."""
+    unchunked R2B9 slab fused a 19 GB intermediate and OOMed the compile,
+    and a 512 MB budget OOMed the TPU at run time next to the 10.7 GB
+    scene + the 2.7 GB output buffer (docs/ROUND3.md); the default budget
+    leaves the build's live set within ~200 MB of scene + output."""
     import jax
     import jax.numpy as jnp
 

@@ -205,11 +205,21 @@ def main():
         fm = build_finemap(loc, q.test12, k_cap, factor=args.finemap)
         jax.block_until_ready(fm.pairs)
         n_fine = int(np.asarray(fm.dims[0])) * int(np.asarray(fm.dims[1]))
-        # map stats via a cheap device reduction (pairs is pack-32)
+        # map stats via a cheap device reduction (pairs is pack-32); a
+        # (n_fine, K) reshape COPY of the 2.7 GB R2B9 map would OOM next
+        # to the scene, so reduce over the packed rows directly (padding
+        # rows are -1-filled and dilute the ratio by < 32/n_fine)
         from icon_rt_tpu.models.finemap import K_CAND
-        flat = fm.pairs.reshape(-1, K_CAND)[:n_fine]
-        fill = [float(jnp.mean((flat[:, k] >= 0).astype(jnp.float32)))
-                for k in range(K_CAND)]
+
+        @jax.jit
+        def _fill(p):  # fused reduces: no (n_fine, K) copy, no f32 temp
+            cols = jnp.arange(p.shape[1]) % K_CAND
+            return jnp.stack([
+                jnp.mean(jnp.where(cols[None, :] == k, p >= 0,
+                                   False).astype(jnp.float32)) * K_CAND
+                for k in range(K_CAND)])
+
+        fill = np.asarray(_fill(fm.pairs))
         print(f"# finemap x{args.finemap}: {n_fine} bins, slot fill "
               f"{' '.join(f'{f:.3f}' for f in fill)}, "
               f"built {time.time()-tb:.0f}s", flush=True)

@@ -13,10 +13,12 @@ timeout 120 python -c "import jax; print(jax.devices())" >> $LOG 2>&1 || exit 1
 
 # 1. (done 2026-08-18, killed) Pallas row-DMA probe: dma 35.1 vs xla
 #    9.5 ns/row at n=8.4M/m=8192 — measurement in docs/ROUND3.md.
+# 2a. (done 2026-08-18) finemap-off baseline on the real batched r2b9q
+#     call: 427.0 ms/call (1.23 Msamples/s) — matches docs/ROUND3.md 420.
+#     First --finemap 2 attempt OOMed the build (512 MB gather budget next
+#     to the 10.7 GB scene + 2.7 GB map); budget now 96 MB.
 
-# 2. finemap effect on the real batched r2b9q call (the round-3 lever)
-timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes batch \
-    --finemap 0 >> $LOG 2>&1
+# 2b. finemap effect on the real batched r2b9q call (the round-3 lever)
 timeout 3600 python scripts/prof_fastq.py --subdiv 11 --probes batch,hitrate,bstats \
     --finemap 2 >> $LOG 2>&1
 
