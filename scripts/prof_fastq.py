@@ -97,6 +97,8 @@ def main():
     ap.add_argument("--spp", type=int, default=64,
                     help="in-lane samples for the batch probe")
     ap.add_argument("--compact", type=int, default=2048)
+    ap.add_argument("--sweep", default="8:1:64,16:1:64,32:1:64,64:1:64",
+                    help="spr:unroll:spp configs for the sweep probe")
     args = ap.parse_args()
     L = args.chunk
     probes = args.probes.split(",")
@@ -314,6 +316,42 @@ def main():
               f"fm={'x'+str(args.finemap) if fm is not None else 'off'}: "
               f"{dt*1e3:8.1f} ms/call "
               f"({L*S/dt/1e6:6.2f} Msamples/s)", flush=True)
+
+    if "sweep" in probes:
+        # knob sweep over (spr, outer_unroll, spp) on the real batched
+        # call — ONE process, one scene load, one finemap build.  With the
+        # fine-map primary the refresh cost collapsed (427 -> 281 ms at
+        # spr=8/S=64) and the while_loop tax (~1.2 ms/iter) became a
+        # first-order term; raising spr cuts iterations ~linearly
+        # (iters ~= steps/spr + pend_events/2) at ~0.46 ns/lane-step of
+        # extra idle-lane arithmetic.
+        from icon_rt_tpu.ops.fastq import render_fast_q_batch
+
+        for cfg in args.sweep.split(","):
+            spr_, unr_, S_ = (int(x) for x in cfg.split(":"))
+            a0 = jnp.zeros((L, 4), jnp.float32)
+            f0 = jnp.zeros((L,), jnp.uint32)
+
+            @jax.jit
+            def scall(q_, loc_, fm_, a, f, spr_=spr_, unr_=unr_, S_=S_):
+                return render_fast_q_batch(
+                    q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
+                    a, f, S_, spr_, outer_unroll=unr_,
+                    refresh_compact=args.compact, finemap=fm_)
+
+            tc0 = time.perf_counter()
+            jax.block_until_ready(scall(q, loc, fm, a0, f0))
+            t_compile = time.perf_counter() - tc0
+            reps = 3 if S_ >= 32 else 12
+            t0s = time.perf_counter()
+            for _ in range(reps):
+                a1, f1 = scall(q, loc, fm, a0, f0)
+            np.asarray(f1)
+            dt = (time.perf_counter() - t0s) / reps
+            print(f"sweep spr={spr_} unroll={unr_} S={S_} L={L} "
+                  f"fm={'x'+str(args.finemap) if fm is not None else 'off'}:"
+                  f" {dt*1e3:8.1f} ms/call ({L*S_/dt/1e6:6.2f} Msamples/s)"
+                  f"  [compile+warm {t_compile:.0f}s]", flush=True)
 
     if "bstats" in probes:
         # instrumented batched loop: how many refresh phases does a real
