@@ -17,7 +17,7 @@ module trades those 16 row gathers for ONE map row + 4 test rows:
     rows;
   * query points in none of the 4 KEEP their pending flag and are
     resolved by the full coarse-locator query on a compacted second
-    stage (ops/fast._make_refresh with primary_fn) — the two-stage
+    stage (ops/fast._make_refresh with primary_locate) — the two-stage
     locate is therefore EXACT: stage 1 only ever short-cuts to the same
     containing column the full query returns (up to f32 boundary ties).
 

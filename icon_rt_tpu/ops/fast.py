@@ -667,33 +667,6 @@ def _fill_slots(s: _State, upd_hit, new_test, prow, cid) -> _State:
     )
 
 
-def _fill_slots_partial(s: _State, pend, upd_hit, new_test, prow, cid
-                        ) -> _State:
-    """Two-stage primary fill: like _fill_slots, but lanes the primary
-    could NOT resolve (pend & ~upd_hit — fine-map misses or points
-    outside the volume) KEEP their pending flag and their c_hit, so the
-    authoritative second-stage full locate serves them.  Lanes the
-    primary resolved are indistinguishable from a full-locate fill (the
-    containing column is unique up to f32 boundary ties)."""
-    f1 = s.c_valid != 0
-    w0 = upd_hit & ~f1
-    w1 = upd_hit & f1
-    i32 = lambda b: b.astype(jnp.int32)
-    return s._replace(
-        pending=i32(pend & ~upd_hit),
-        c_test=jnp.where(w0[:, None], new_test, s.c_test),
-        c_prof=jnp.where(w0[:, None], prow, s.c_prof),
-        c_cid=jnp.where(w0, cid, s.c_cid),
-        c_valid=i32((s.c_valid != 0) | w0),
-        c_test2=jnp.where(w1[:, None], new_test, s.c_test2),
-        c_prof2=jnp.where(w1[:, None], prow, s.c_prof2),
-        c_cid2=jnp.where(w1, cid, s.c_cid2),
-        c_valid2=i32((s.c_valid2 != 0) | w1),
-        c_mru=jnp.where(upd_hit, f1.astype(jnp.int32), s.c_mru),
-        c_hit=jnp.where(upd_hit, 1, s.c_hit),
-    )
-
-
 def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
              org, oo, flat_vert: bool = False) -> _State:
     """Dense batched locator refresh: every lane's gathers execute (with
@@ -711,35 +684,20 @@ def _refresh(s: _State, c: _Consts, loc: Locator, packed: PackedCells,
     return _fill_slots(s, pend & hit, new_test, prow, cid)
 
 
-def _refresh_fine(s: _State, c: _Consts, fm, packed: PackedCells,
-                  org, oo, flat_vert: bool = False) -> _State:
-    """Dense fine-map primary refresh, f32 tier: resolves most pending
-    lanes at ~1/4 the gather traffic; misses KEEP pending
-    (_fill_slots_partial) for the compacted full-locate stage."""
-    ox, oy, oz = org
-    pend = s.pending != 0
-    px = ox + c.dx * s.t
-    py = oy + c.dy * s.t
-    pz = oz + c.dz * s.t
-    r = _r_of(s.t, c.od, oo)
-    new_test, prow, cid, hit = _locate_fine(fm, packed, px, py, pz, r,
-                                            pend, flat_vert)
-    return _fill_slots_partial(s, pend, pend & hit, new_test, prow, cid)
-
-
 def _compact_service(s: _State, c: _Consts, locate_fn, org, oo, P: int
                      ) -> _State:
     """Serve up to P pending lanes with narrow (P, ·) gathers + row
     scatters back into the cache slots.  Measured ~10x cheaper than the
     dense refresh at R2B9 when <= 5% of lanes are pending (the steady
-    state once caches persist across samples; docs/ROUND3.md).  Lanes
-    beyond P stay pending and are served at the next service point — but
-    the adaptive wrapper (_make_refresh) only takes this path when
-    count <= P, so in practice every pending lane is served and the
-    cadence (and output bits) match the dense path exactly.
+    state once caches persist across samples; docs/ROUND3.md).
 
-    locate_fn(px, py, pz, r, pend) -> (new_test, prow, cid, hit) on (P,)
-    arrays — _locate or the quantized tier's _locate_q partial."""
+    locate_fn(px, py, pz, r, ok) -> (new_test, prow, cid, hit, served)
+    on (P,) arrays — a full locate (served == ok) or a two-stage
+    composition (_two_stage_locate) whose tail may leave a few lanes
+    unserved.  Unserved lanes KEEP their pending flag and are picked up
+    at the next service point — safe for output bits, because a pending
+    lane draws nothing from its per-lane RNG stream while it waits;
+    service cadence only moves wall time, never the sample values."""
     L = s.t.shape[0]
     pend = s.pending != 0
     cnt = jnp.sum(pend.astype(jnp.int32))
@@ -755,15 +713,15 @@ def _compact_service(s: _State, c: _Consts, locate_fn, org, oo, P: int
     py = oy + dy * tt
     pz = oz + dz * tt
     r = jnp.sqrt(jnp.maximum(oo + 2.0 * tt * od + tt * tt, 1e-30))
-    new_test, prow, cid, hit = locate_fn(px, py, pz, r, ok)
-    upd = ok & hit
+    new_test, prow, cid, hit, served = locate_fn(px, py, pz, r, ok)
+    upd = served & hit
     drop = jnp.int32(L)         # out-of-bounds scatter index -> dropped
     f1 = s.c_valid[idx] != 0    # entry-pin policy (see _fill_slots)
     idx0 = jnp.where(upd & ~f1, idx, drop)
     idx1 = jnp.where(upd & f1, idx, drop)
-    idx_ok = jnp.where(ok, idx, drop)
+    idx_srv = jnp.where(served, idx, drop)
     return s._replace(
-        pending=s.pending.at[idx_ok].set(0),
+        pending=s.pending.at[idx_srv].set(0),
         c_test=s.c_test.at[idx0].set(new_test),
         c_prof=s.c_prof.at[idx0].set(prow),
         c_cid=s.c_cid.at[idx0].set(cid),
@@ -774,75 +732,109 @@ def _compact_service(s: _State, c: _Consts, locate_fn, org, oo, P: int
         c_valid2=s.c_valid2.at[idx1].set(1),
         c_mru=s.c_mru.at[jnp.where(upd, idx, drop)].set(
             f1.astype(jnp.int32)),
-        c_hit=s.c_hit.at[idx_ok].set(upd.astype(jnp.int32)),
+        c_hit=s.c_hit.at[idx_srv].set(upd.astype(jnp.int32)),
     )
 
 
+def _two_stage_locate(primary_loc, full_loc, tail_cap: int):
+    """Compose a _compact_service locate_fn: the fine-map primary locates
+    every compacted lane (5 narrow gathers/lane), then its MISSES are
+    sub-compacted to (tail_cap,) rows for the authoritative full locate
+    (bins row + k_cap test rows).  Running the primary COMPACTED is the
+    round-3 fix for the dense primary paying all L lanes when only ~1/3
+    pend (measured pend/phase 2758 of 8192 at R2B9, docs/ROUND3.md).
+
+    Misses beyond tail_cap stay unserved (kept pending by
+    _compact_service) — structurally rare (primary hit rate ~0.94) and
+    bit-safe: a waiting lane's RNG stream is untouched.  Exactness is
+    the fine map's invariant: a primary hit IS the full query's column
+    (up to f32 boundary ties), and every miss that matters reaches
+    full_loc."""
+    def locate(px, py, pz, r, ok):
+        P = px.shape[0]
+        t1, p1, c1, h1 = primary_loc(px, py, pz, r, ok)
+        miss = ok & ~h1
+        mcnt = jnp.sum(miss.astype(jnp.int32))
+        j = jnp.nonzero(miss, size=tail_cap, fill_value=P - 1)[0]
+        ok2 = jnp.arange(tail_cap) < mcnt
+        t2, p2, c2, h2 = full_loc(px[j], py[j], pz[j], r[j], ok2)
+        drop = jnp.int32(P)     # out-of-bounds scatter index -> dropped
+        jw = jnp.where(ok2, j, drop)
+        new_test = t1.at[jw].set(t2)
+        prow = p1.at[jw].set(p2)
+        cid = c1.at[jw].set(c2)
+        hit = h1.at[jw].set(h2)
+        served_tail = jnp.zeros((P,), bool).at[jw].set(True)
+        return new_test, prow, cid, hit, ok & (h1 | served_tail)
+    return locate
+
+
 def _make_refresh(dense_fn, locate_fn, org, oo, refresh_compact: int,
-                  primary_fn=None):
-    """Adaptive multi-tier refresh: serve the pending lanes with the
-    SMALLEST compact capacity that fits them (refresh_compact, 2x, 4x, ...
+                  primary_locate=None):
+    """Adaptive refresh dispatcher.
+
+    Without a primary: serve the pending lanes with the SMALLEST compact
+    full-locate capacity that fits them (refresh_compact, 2x, 4x, ...
     doubling until the full lane width), falling back to the dense path
     only when more than half the lanes pend.  Compact cost is linear in
     the capacity (~0.65 us/lane at R2B9, docs/ROUND3.md) while the dense
-    path always pays every lane, so tier choice ~= paying only for actual
-    pending work rounded up to a power of two.  Every tier serves ALL
-    pending lanes (the guard guarantees count <= capacity), so cadence
-    and output bits are identical across tiers and to the dense path.
+    path always pays every lane.  Every tier serves ALL pending lanes
+    (the guard guarantees count <= capacity), so cadence and output bits
+    are identical across tiers and to the dense path.
     refresh_compact == 0 disables the compact path (always dense).
 
-    primary_fn(s, c) -> s: optional cheap FIRST stage (the fine-map
-    locate, models/finemap.py) run dense over all lanes; it resolves most
-    pending lanes (~51 vs ~395 ns/lane at R2B9) and leaves the rest
-    pending for the full-locate tiers below.  With a primary the final
-    tier is compact-at-full-width instead of the dense path: the dense
-    fill rewrites every lane's cache state, which would clobber the
-    columns the primary just installed (scatter-based compact fills only
-    touch the lanes they serve)."""
-    if refresh_compact <= 0 and primary_fn is None:
+    With a primary (primary_locate, the fine-map point locate): every
+    tier is a COMPACTED TWO-STAGE service (_two_stage_locate) — the
+    primary runs on the compacted pending rows, its misses sub-compact
+    into a small full-locate tail.  Tiers are FEW and FIXED
+    (lanes/8, lanes/2, lanes): once the fine map made the gathers cheap
+    (~51 ns/lane primary vs ~670 full), the old 7-cond doubling ladder's
+    per-cond dispatch dominated the phase, and the round-3 sweep showed
+    the while-loop body — not its mechanics — carries the cost
+    (docs/ROUND3.md).  Three fixed tiers bound the width waste at ~4x
+    while paying 2 conds per phase.  A tier's tail (capacity/8) may
+    leave overflow misses pending for the next phase — rare (~6% miss
+    rate) and bit-safe (see _compact_service)."""
+    if refresh_compact <= 0 and primary_locate is None:
         return lambda s, c: dense_fn(s, c)
+
+    if primary_locate is not None:
+        def refresh(s, c):
+            lanes_n = s.t.shape[0]
+            cnt = jnp.sum((s.pending != 0).astype(jnp.int32))
+            tiers = sorted({min(max(lanes_n // 8, 128), lanes_n),
+                            min(max(lanes_n // 2, 128), lanes_n),
+                            lanes_n})
+
+            def service(p):
+                two = _two_stage_locate(primary_locate, locate_fn,
+                                        min(max(p // 8, 128), p))
+                return lambda ss: _compact_service(ss, c, two, org, oo, p)
+
+            fn = service(tiers[-1])
+            for p in reversed(tiers[:-1]):
+                fn = (lambda p_, nxt, srv: lambda ss: jax.lax.cond(
+                    cnt <= p_, srv, nxt, ss))(p, fn, service(p))
+            # callers guard on any-pending, so cnt > 0 here
+            return fn(s)
+        return refresh
 
     def refresh(s, c):
         lanes_n = s.t.shape[0]
-        if primary_fn is not None:
-            # the primary runs DENSE (gathers execute for every lane, the
-            # measured cost model of all dense refreshes here), so below
-            # ~lanes/8 pending a compact full locate is cheaper than
-            # primary + compact tail: ~0.065 us/lane dense primary vs
-            # ~0.67 us/pending-lane full locate, crossover ~lanes/10.
-            # Either branch leaves the tiers serving ALL pending lanes,
-            # so output bits are identical whichever is taken.
-            cnt0 = jnp.sum((s.pending != 0).astype(jnp.int32))
-            s = jax.lax.cond(cnt0 >= max(lanes_n // 8, 129),
-                             lambda ss: primary_fn(ss, c),
-                             lambda ss: ss, s)
         cnt = jnp.sum((s.pending != 0).astype(jnp.int32))
+        full5 = lambda px, py, pz, r, ok: (*locate_fn(px, py, pz, r, ok),
+                                           ok)
         tiers = []
-        # with a primary, stage-2 only sees the primary's misses —
-        # structurally far fewer than the phase's pending count — so the
-        # tier ladder starts at a small fixed capacity instead of the
-        # caller's (pending-count-scaled) refresh_compact
-        p = 128 if primary_fn is not None else max(refresh_compact, 128)
+        p = max(refresh_compact, 128)
         while p < lanes_n:
             tiers.append(p)
             p *= 2
-        if primary_fn is not None:
-            tiers.append(lanes_n)
-            fn = lambda ss: ss
-            guard = lambda p_: (cnt <= p_) if p_ != lanes_n \
-                else (cnt > 0)
-        else:
-            fn = lambda ss: dense_fn(ss, c)
-            guard = lambda p_: cnt <= p_
+        fn = lambda ss: dense_fn(ss, c)
         for p in reversed(tiers):
             fn = (lambda p_, nxt: lambda ss: jax.lax.cond(
-                guard(p_),
-                lambda s2: _compact_service(s2, c, locate_fn, org, oo, p_),
+                cnt <= p_,
+                lambda s2: _compact_service(s2, c, full5, org, oo, p_),
                 nxt, ss))(p, fn)
-        if primary_fn is not None:
-            # the primary often resolves everything; the caller's
-            # any-pending guard ran BEFORE the primary, so re-check
-            return jax.lax.cond(cnt > 0, fn, lambda ss: ss, s)
         return fn(s)
     return refresh
 
@@ -888,9 +880,10 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
         lambda px, py, pz, r, pend: _locate(loc, packed, px, py, pz, r,
                                             pend, flat_vert=fv),
         org, oo, refresh_compact,
-        primary_fn=None if finemap is None else
-        (lambda s, c: _refresh_fine(s, c, finemap, packed, org, oo,
-                                    flat_vert=fv)))
+        primary_locate=None if finemap is None else
+        (lambda px, py, pz, r, pend: _locate_fine(finemap, packed, px, py,
+                                                  pz, r, pend,
+                                                  flat_vert=fv)))
 
     def inner_phase(s: _State) -> _State:
         # Python-unrolled on purpose: a lax.fori_loop would make every step
@@ -1093,9 +1086,10 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
         lambda px, py, pz, r, pend: _locate(loc, packed, px, py, pz, r,
                                             pend, flat_vert=fv),
         org, oo, refresh_compact,
-        primary_fn=None if finemap is None else
-        (lambda s, c: _refresh_fine(s, c, finemap, packed, org, oo,
-                                    flat_vert=fv)))
+        primary_locate=None if finemap is None else
+        (lambda px, py, pz, r, pend: _locate_fine(finemap, packed, px, py,
+                                                  pz, r, pend,
+                                                  flat_vert=fv)))
 
     def shade(s, c):
         return _shade(s, c, packed.rgb, lp, oo, flat_vert=fv)

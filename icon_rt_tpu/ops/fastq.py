@@ -161,22 +161,6 @@ def _locate_q_fine(fm, q: QuantizedCells, px, py, pz, r, pend):
     return _test_and_fill(q, cand, px, py, pz, r, pend)
 
 
-def _refresh_q_fine(s: _State, c: _Consts, fm, q: QuantizedCells,
-                    org, oo) -> _State:
-    """Dense fine-map primary refresh: resolves most pending lanes at
-    ~1/8 the gather traffic; misses KEEP pending (ops/fast.
-    _fill_slots_partial) for the compacted full-locate stage."""
-    from .fast import _fill_slots_partial
-    ox, oy, oz = org
-    pend = s.pending != 0
-    px = ox + c.dx * s.t
-    py = oy + c.dy * s.t
-    pz = oz + c.dz * s.t
-    r = jnp.sqrt(jnp.maximum(oo + 2.0 * s.t * c.od + s.t * s.t, 1e-30))
-    test16, prof, cid, hit = _locate_q_fine(fm, q, px, py, pz, r, pend)
-    return _fill_slots_partial(s, pend, pend & hit, test16, prof, cid)
-
-
 def _shade_q(s: _State, c: _Consts, lp, tf: Transfunc, lutp, oo, lm: int):
     """Composite color of a finished lane: the accepted sample's cached
     dequantized VALUE classified through the live LUT (ref semantics:
@@ -231,8 +215,9 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
         lambda px, py, pz, r, pend: _locate_q(loc, q, k_cap, px, py, pz,
                                               r, pend),
         org, oo, refresh_compact,
-        primary_fn=None if finemap is None else
-        (lambda s, c: _refresh_q_fine(s, c, finemap, q, org, oo)))
+        primary_locate=None if finemap is None else
+        (lambda px, py, pz, r, pend: _locate_q_fine(finemap, q, px, py,
+                                                    pz, r, pend)))
 
     def inner_phase(s: _State) -> _State:
         # Python-unrolled so XLA fuses all steps into one kernel per outer
@@ -295,8 +280,9 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
         lambda px, py, pz, r, pend: _locate_q(loc, q, k_cap, px, py, pz,
                                               r, pend),
         org, oo, refresh_compact,
-        primary_fn=None if finemap is None else
-        (lambda s, c: _refresh_q_fine(s, c, finemap, q, org, oo)))
+        primary_locate=None if finemap is None else
+        (lambda px, py, pz, r, pend: _locate_q_fine(finemap, q, px, py,
+                                                    pz, r, pend)))
 
     lutp = pack_lut(tf)
 

@@ -241,16 +241,23 @@ def main():
               f"({t/L*1e9:6.1f} ns/lane)", flush=True)
 
     if "fine" in probes and fm is not None:
-        from icon_rt_tpu.ops.fastq import _refresh_q_fine
+        from icon_rt_tpu.ops.fastq import _locate_q_fine
 
         def fbody(i, s, tb):
             fm_, q_ = tb
-            s = s._replace(pending=jnp.ones(L, jnp.int32),
-                           t=s0.t + (i % 64).astype(jnp.float32) * dt_seg)
-            return _refresh_q_fine(s, consts, fm_, q_, org, oo)
+            tt = s0.t + (i % 64).astype(jnp.float32) * dt_seg
+            px = org[0] + consts.dx * tt
+            py = org[1] + consts.dy * tt
+            pz = org[2] + consts.dz * tt
+            r = jnp.sqrt(jnp.maximum(
+                oo + 2.0 * tt * consts.od + tt * tt, 1e-30))
+            _, prof, _, hit = _locate_q_fine(fm_, q_, px, py, pz, r,
+                                             jnp.ones(L, bool))
+            return s._replace(t=s.t + jnp.sum(prof[:, 0]) * 0.0
+                              + hit.astype(jnp.float32) * 0.0)
 
         t = timeit_inner(fbody, s0, reps=64, tables=(fm, q))
-        print(f"fine primary all-pending:      {t*1e6:9.1f} us "
+        print(f"fine primary locate (all lanes): {t*1e6:9.1f} us "
               f"({t/L*1e9:6.1f} ns/lane)", flush=True)
 
     if "hitrate" in probes and fm is not None:

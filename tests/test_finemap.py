@@ -153,6 +153,52 @@ def test_finemap_render_bit_identical(scene):
     np.testing.assert_array_equal(np.asarray(fc), np.asarray(f1))
 
 
+def test_two_stage_tail_overflow(scene):
+    """_two_stage_locate with a tail smaller than the miss count: exactly
+    tail_cap lanes are served (with the full locate's results), the rest
+    stay unserved so _compact_service keeps them pending for the next
+    phase — the overflow mode the fixed-tier refresh relies on."""
+    import jax.numpy as jnp
+    from icon_rt_tpu.ops.fast import _two_stage_locate
+    from icon_rt_tpu.ops.fastq import _locate_q, _locate_q_fine
+
+    ds_q, stats, tf, q, loc, k_cap, bands, fm = scene
+    rng = np.random.default_rng(5)
+    P, tail = 64, 8
+    lat = np.arcsin(rng.uniform(-0.9, 0.9, P))
+    lon = rng.uniform(-np.pi, np.pi, P)
+    r = np.full(P, 0.5 * (float(stats.spherical_bounds_lo[0])
+                          + float(stats.spherical_bounds_hi[0])), np.float32)
+    px = jnp.asarray(r * np.cos(lat) * np.cos(lon), jnp.float32)
+    py = jnp.asarray(r * np.cos(lat) * np.sin(lon), jnp.float32)
+    pz = jnp.asarray(r * np.sin(lat), jnp.float32)
+    r = jnp.asarray(r)
+    ones = jnp.ones(P, bool)
+
+    def prim_all_miss(px, py, pz, r, ok):
+        t, p, c, h = _locate_q_fine(fm, q, px, py, pz, r, ok)
+        return t, p, c, jnp.zeros_like(h)
+
+    two = _two_stage_locate(
+        prim_all_miss,
+        lambda px, py, pz, r, ok: _locate_q(loc, q, k_cap, px, py, pz,
+                                            r, ok), tail)
+    t2, p2, c2, h2, served = two(px, py, pz, r, ones)
+    served = np.asarray(served)
+    assert served.sum() == tail          # tail capacity, no more, no less
+    tf_, pf_, cf_, hf_ = _locate_q(loc, q, k_cap, px, py, pz, r, ones)
+    np.testing.assert_array_equal(np.asarray(h2)[served],
+                                  np.asarray(hf_)[served])
+    srv_hit = served & np.asarray(h2)
+    assert srv_hit.any()                 # mid-volume points do land in cells
+    np.testing.assert_array_equal(np.asarray(c2)[srv_hit],
+                                  np.asarray(cf_)[srv_hit])
+    np.testing.assert_array_equal(np.asarray(t2)[srv_hit],
+                                  np.asarray(tf_)[srv_hit])
+    np.testing.assert_array_equal(np.asarray(p2)[srv_hit],
+                                  np.asarray(pf_)[srv_hit])
+
+
 def test_finemap_render_bit_identical_f32(scene):
     """The f32 tier's two-stage locate (normals_table + _locate_fine):
     same exactness contract as the quantized tier."""
