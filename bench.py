@@ -403,7 +403,11 @@ ALL_ROWS = [
     ("r2b7_closeup", 7, 16, 2, "closeup", "f32", 32),   # 327,680 cells
     ("r2b8_closeup", 8, 16, 2, "closeup", "f32", 16),   # 1,310,720 cells
     ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 16),    # quantized overhead
-    ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 4),    # 83,886,080 cells
+    # r2b9q spp: S=32 in-lane batching measured 1.96 vs 1.23 Msamples/s at
+    # S=4 (docs/ROUND3.md sweep) and keeps one frame execution ~17 s —
+    # well under the ~60 s axon-worker crash ceiling (S=64 would be ~34 s,
+    # too close for the graded run)
+    ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 32),   # 83,886,080 cells
 ]
 HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b9q_closeup")
 

@@ -360,6 +360,59 @@ def main():
                   f" {dt*1e3:8.1f} ms/call ({L*S_/dt/1e6:6.2f} Msamples/s)"
                   f"  [compile+warm {t_compile:.0f}s]", flush=True)
 
+    if "xprof" in probes:
+        # xplane trace of ONE real batched call -> top ops by device time
+        # (the round-2 methodology that found the scalar-gather bug,
+        # docs/ROUND2.md:72, pointed at the round-3 residual: ~90 ns/
+        # lane-phase of the batched call is unattributed by the
+        # fine/steps/gather probes)
+        import glob
+
+        from jax.profiler import ProfileData
+        from icon_rt_tpu.ops.fastq import render_fast_q_batch
+
+        S = args.spp
+        a0 = jnp.zeros((L, 4), jnp.float32)
+        f0 = jnp.zeros((L,), jnp.uint32)
+
+        @jax.jit
+        def xcall(q_, loc_, fm_, a, f):
+            return render_fast_q_batch(
+                q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
+                a, f, S, args.spr, refresh_compact=args.compact,
+                finemap=fm_)
+
+        jax.block_until_ready(xcall(q, loc, fm, a0, f0))
+        tdir = "/tmp/xprof_fastq"
+        with jax.profiler.trace(tdir):
+            a1, f1 = xcall(q, loc, fm, a0, f0)
+            np.asarray(f1)
+        paths = sorted(glob.glob(tdir + "/**/*.xplane.pb", recursive=True))
+        pd = ProfileData.from_file(paths[-1])
+        for plane in pd.planes:
+            print(f"xprof sees plane '{plane.name}' "
+                  f"({len(list(plane.lines))} lines: "
+                  f"{[l.name for l in plane.lines][:6]})", flush=True)
+        for plane in pd.planes:
+            if "TPU" not in plane.name and "tpu" not in plane.name:
+                continue
+            tot = {}
+            cnt = {}
+            for line in plane.lines:
+                if "XLA Ops" not in line.name and "Ops" not in line.name:
+                    continue
+                for ev in line.events:
+                    d = ev.duration_ns
+                    tot[ev.name] = tot.get(ev.name, 0) + d
+                    cnt[ev.name] = cnt.get(ev.name, 0) + 1
+            rows = sorted(tot.items(), key=lambda kv: -kv[1])[:30]
+            alln = sum(tot.values())
+            print(f"xprof plane '{plane.name}': total {alln/1e6:.1f} ms "
+                  f"on-device", flush=True)
+            for name, d in rows:
+                print(f"  {d/1e6:9.2f} ms  x{cnt[name]:<6d} {name[:90]}",
+                      flush=True)
+
     if "bstats" in probes:
         # instrumented batched loop: how many refresh phases does a real
         # (L, S) call enter, and how many pending lanes do they serve?
