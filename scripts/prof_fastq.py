@@ -103,8 +103,12 @@ def main():
     L = args.chunk
     probes = args.probes.split(",")
 
-    from icon_rt_tpu.data.bigscene import (build_locator_csr_from_scene,
-                                           synth_quantized_cached, to_device)
+    import os as _os
+
+    from icon_rt_tpu.data.bigscene import (_CACHE_DIR,
+                                           build_locator_csr_from_scene,
+                                           synth_quantized_cached)
+    from icon_rt_tpu.data.device_scene import synth_quantized_device
     from icon_rt_tpu.models.qcells import bake_alpha_q
     from icon_rt_tpu.models.shells import update_band_majorants
     from icon_rt_tpu.models.transfunc import make_transfunc
@@ -114,19 +118,26 @@ def main():
     from icon_rt_tpu.ops.order import pixel_order
     from icon_rt_tpu.ops.render import make_launch_params
 
+    # device-side synthesis (seconds of TPU compute) like bench_row_q; the
+    # 10.7 GB host scene is loaded/uploaded only if the locator binning npz
+    # is missing (binning needs host lat/lon)
     t0 = time.time()
-    sc = synth_quantized_cached(args.subdiv, args.layers)
-    print(f"# scene loaded {time.time()-t0:.0f}s", flush=True)
-    tf = make_transfunc(value_range=tuple(sc.stats.data_range))
-    q, bands = to_device(sc)
-    q = bake_alpha_q(q, tf, value_q_host=sc.value_q)
-    bands = update_band_majorants(bands, tf.values, tf.value_range)
+    dsc = synth_quantized_device(args.subdiv, args.layers)
+    tf = make_transfunc(value_range=tuple(dsc.stats.data_range))
+    q = bake_alpha_q(dsc.cells, tf)
+    bands = update_band_majorants(dsc.bands, tf.values, tf.value_range)
     print(f"# tables on device {time.time()-t0:.0f}s", flush=True)
-    loc, k_cap = build_locator_csr_from_scene(
-        sc, cache_key=f"s{args.subdiv}_l{args.layers}")
+    cache_key = f"s{args.subdiv}_l{args.layers}"
+    sc = None
+    if not _os.path.exists(_os.path.join(_CACHE_DIR,
+                                         f"qloc2_{cache_key}.npz")):
+        sc = synth_quantized_cached(args.subdiv, args.layers)
+        print(f"# host scene for binning {time.time()-t0:.0f}s", flush=True)
+    loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key)
     print(f"# locator on device {time.time()-t0:.0f}s", flush=True)
-    stats = sc.stats
-    print(f"# scene: {sc.num_cells} cells, lm={q.lm}, k_cap={k_cap}, "
+    stats = dsc.stats
+    num_cells = 20 * 4 ** args.subdiv
+    print(f"# scene: {num_cells} cells, lm={q.lm}, k_cap={k_cap}, "
           f"bins={np.prod(np.asarray(loc.dims))} "
           f"({'x'.join(str(int(d)) for d in np.asarray(loc.dims))})",
           flush=True)
