@@ -44,7 +44,8 @@ def _preflight_backend(timeout_s: int = 240) -> bool:
         return False
 
 
-if __name__ == "__main__" and not _preflight_backend():
+if (__name__ == "__main__" and "--row" not in sys.argv
+        and not _preflight_backend()):
     print(json.dumps({
         "metric": "BENCH ABORTED: backend init probe timed out — the TPU "
                   "worker is down/wedged (README 'Hardware gotchas'); no "
@@ -106,7 +107,7 @@ def _emit(note: str = ""):
     }), flush=True)
 
 
-def _install_watchdog():
+def _install_watchdog(budget_s: int):
     """The TPU worker can wedge (see README gotchas); emit the rows that
     DID complete instead of hanging forever if that happens mid-bench."""
     import signal
@@ -117,11 +118,7 @@ def _install_watchdog():
         os._exit(2 if not RESULTS else 0)
 
     signal.signal(signal.SIGALRM, on_alarm)
-    # generous default: COLD compiles of the fused render loop through the
-    # remote-compile tunnel take ~7-8 min EACH, the R2B9 host build is
-    # minutes more, and this harness runs several scales; warm-cache full
-    # runs finish in a few minutes
-    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "3300")))
+    signal.alarm(budget_s)
 
 
 def _median_windows(step, accum, fb, iters: int, spp: int, inv,
@@ -412,21 +409,59 @@ ALL_ROWS = [
 HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b9q_closeup")
 
 
-def main():
-    _install_watchdog()
+def _parse_row_output(stdout_bytes: bytes):
+    """Extract the child row's `BENCHROW {json}` line (None if absent)."""
+    for ln in stdout_bytes.decode("utf-8", "replace").splitlines():
+        if ln.startswith("BENCHROW "):
+            return json.loads(ln[len("BENCHROW "):])
+    return None
+
+
+def _run_row(name: str) -> None:
+    """Child mode (`bench.py --row NAME`): run ONE row in this process and
+    print its dict as a `BENCHROW {json}` stdout line for the parent."""
+    spec = {r[0]: r for r in ALL_ROWS}[name]
+    _, subdiv, layers, iters, framing, tier, spp_cap = spec
     chunk = int(os.environ.get("BENCH_CHUNK", "8192"))
     spr = int(os.environ.get("BENCH_SPR", "8"))
     spp = int(os.environ.get("BENCH_SAMPLES", "64"))
+    fn = bench_row_q if tier == "q" else bench_row
+    row = fn(subdiv, layers, iters, framing, chunk, spr, min(spp, spp_cap))
+    print("BENCHROW " + json.dumps(row), flush=True)
+
+
+def main():
+    """Parent: one SUBPROCESS per row (fresh HBM — round 3 found the r2b9q
+    row OOMs when earlier rows' device residue is still allocated, while
+    the identical build succeeds in a clean process), with a per-row
+    timeout so one wedged/overrunning row cannot eat the others.  The
+    parent never initializes the TPU backend (the axon device is
+    exclusive to one process at a time)."""
+    import subprocess
+
+    budget = int(os.environ.get("BENCH_WATCHDOG_S", "3300"))
+    _install_watchdog(budget + 60)  # backstop behind the per-row timeouts
+    deadline = time.time() + budget
+    row_cap = int(os.environ.get("BENCH_ROW_TIMEOUT", "2700"))
     only = os.environ.get("BENCH_ROWS")  # comma-separated row names
     rows = [r for r in ALL_ROWS if only is None or r[0] in only.split(",")]
 
     failures = []
-    for name, subdiv, layers, iters, framing, tier, spp_cap in rows:
+    for spec in rows:
+        name = spec[0]
+        timeout = min(row_cap, deadline - time.time())
+        if timeout < 60:
+            failures.append(f"{name}: skipped (global budget exhausted)")
+            continue
         try:
-            fn = bench_row_q if tier == "q" else bench_row
-            RESULTS[name] = fn(subdiv, layers, iters, framing, chunk, spr,
-                               min(spp, spp_cap))
-            print(f"# {name}: {RESULTS[name]}", file=sys.stderr, flush=True)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--row", name],
+                stdout=subprocess.PIPE, timeout=timeout)
+            row = _parse_row_output(proc.stdout)
+            if row is None:
+                raise RuntimeError(f"rc={proc.returncode}, no BENCHROW line")
+            RESULTS[name] = row
+            print(f"# {name}: {row}", file=sys.stderr, flush=True)
         except Exception as e:  # a failed row must not eat the others
             msg = str(e).splitlines()[0][:200] if str(e) else ""
             failures.append(f"{name}: {type(e).__name__}: {msg}")
@@ -436,4 +471,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--row" in sys.argv:
+        _run_row(sys.argv[sys.argv.index("--row") + 1])
+    else:
+        main()

@@ -42,6 +42,20 @@ def test_bench_row_quantized(tiny_frame, monkeypatch, tmp_path):
     assert r["tf_stroke_s"] > 0
 
 
+def test_run_row_prints_benchrow(tiny_frame, monkeypatch, capsys):
+    """Child/parent subprocess contract: `--row` prints a BENCHROW line the
+    parent's parser recovers verbatim (rows run in subprocesses so each
+    gets fresh HBM — the round-3 r2b9q OOM isolation)."""
+    fake = dict(cells=7, framing="closeup", coverage=0.5, mray_full=1.0,
+                mray_traced=0.5, fps=1.0, spread=0.0, tf_edit_s=0.1)
+    monkeypatch.setattr(bench, "bench_row",
+                        lambda *a, **k: fake)
+    bench._run_row("r2b4_closeup")
+    out = capsys.readouterr().out
+    assert bench._parse_row_output(out.encode()) == fake
+    assert bench._parse_row_output(b"no row here\n") is None
+
+
 def test_emit_formats_all_rows(capsys):
     bench.RESULTS.clear()
     bench.RESULTS["a_viewall"] = dict(
