@@ -196,6 +196,7 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
     n_traced = min(total, -(-max(n_active, 1) // chunk) * chunk)
 
     compact = int(os.environ.get("BENCH_COMPACT", "2048"))
+    scap = int(os.environ.get("BENCH_SERVICE_CAP", "-1"))  # -1 auto flat
     fm = None
     fm_factor = int(os.environ.get("BENCH_FINEMAP_F32", "0"))
     if fm_factor > 0:
@@ -214,7 +215,7 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
                                  pixel_perm=perm, n_active=n_active,
                                  chunk=chunk, steps_per_refresh=spr,
                                  samples=spp, refresh_compact=compact,
-                                 finemap=fm)
+                                 finemap=fm, service_cap=scap)
 
     accum, fb = step(0, accum, fb)
     float((np.asarray(fb)[inv] != 0).mean())  # warm + sync
@@ -267,10 +268,11 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     The scene is generated ON the device (data/device_scene.py — seconds
     of TPU compute instead of ~35 min of relay upload) and alpha is baked
     on device; only the locator table is uploaded (npz-cached binning)."""
+    import gc
     import os as _os
 
-    from icon_rt_tpu.data.bigscene import (_CACHE_DIR,
-                                           build_locator_csr_from_scene,
+    from icon_rt_tpu.data.bigscene import (build_locator_csr_from_scene,
+                                           locator_cache_path,
                                            synth_quantized_cached)
     from icon_rt_tpu.data.device_scene import synth_quantized_device
     from icon_rt_tpu.models.qcells import bake_alpha_q
@@ -282,17 +284,25 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     q = bake_alpha_q(dsc.cells, tf)
     bands = update_band_majorants(dsc.bands, tf.values, tf.value_range)
     cache_key = f"s{subdiv}_l{num_layers}"
+    # giant scenes halve the locator grid side (the dense table drops
+    # 3.0 -> ~1.6 GB at R2B9 — the round-3 fix for the r2b9q row OOMing
+    # at the HBM ceiling); the finemap factor doubles to keep the fine
+    # grid resolution (and so the primary hit rate) unchanged
+    loc_scale = float(os.environ.get(
+        "BENCH_LOC_SCALE", "0.5" if subdiv >= 10 else "1"))
     sc = None
-    if not _os.path.exists(_os.path.join(_CACHE_DIR,
-                                         f"qloc2_{cache_key}.npz")):
+    if not _os.path.exists(locator_cache_path(cache_key, loc_scale)):
         sc = synth_quantized_cached(subdiv, num_layers)  # binning needs lat/lon
-    loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key)
+    loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key,
+                                              dims_scale=loc_scale)
+    del sc
     fm = None
-    fm_factor = int(os.environ.get("BENCH_FINEMAP", "2"))
+    fm_factor = int(os.environ.get("BENCH_FINEMAP",
+                                   str(int(round(2 / loc_scale)))))
     while fm_factor > 0:
-        # the map is O(factor^2) HBM (2.7 GB at R2B9 x2) next to the
-        # ~11 GB scene; on ResourceExhausted fall back to a coarser map
-        # (lower primary hit rate) rather than losing the whole row
+        # the map is O(fine-bin count) HBM (2.7 GB at R2B9's default fine
+        # grid) next to the scene; on ResourceExhausted fall back to a
+        # coarser map (lower primary hit rate) rather than losing the row
         from icon_rt_tpu.models.finemap import build_finemap
         t0 = time.perf_counter()
         try:
@@ -304,9 +314,11 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
             break
         except Exception as e:
             fm = None
-            fm_factor -= 1
+            fm_factor //= 2
             print(f"# finemap build failed ({type(e).__name__}), "
                   f"retrying factor={fm_factor}", file=sys.stderr, flush=True)
+            del e
+            gc.collect()   # drop leaked device buffers of the failed build
     n_cells = 20 * 4 ** subdiv
     cam = _camera(stats, framing)
     unit_distance = 10.0 ** (np.floor(
@@ -323,6 +335,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     n_traced = min(total, -(-max(n_active, 1) // chunk) * chunk)
 
     compact = int(os.environ.get("BENCH_COMPACT", "2048"))
+    scap = int(os.environ.get("BENCH_SERVICE_CAP", "-1"))  # -1 auto flat
 
     def step(s, accum, fb):
         return render_frame_fast_q(q, loc, k_cap, bands, tf,
@@ -331,7 +344,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                    pixel_perm=perm, n_active=n_active,
                                    chunk=chunk, steps_per_refresh=spr,
                                    samples=spp, refresh_compact=compact,
-                                   finemap=fm)
+                                   finemap=fm, service_cap=scap)
 
     accum, fb = step(0, accum, fb)
     float((np.asarray(fb)[inv] != 0).mean())  # warm + sync

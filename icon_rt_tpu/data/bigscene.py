@@ -210,22 +210,21 @@ def to_device(sc: QuantScene):
     import jax.numpy as jnp
     from ..models.qcells import QuantizedCells
     from ..models.shells import RadialBands
-    # pad stored (N, 12) rows to (N, 16) at upload (12-wide rows misalign
-    # the (8,128) TPU tile; the npz cache keeps the compact 12-wide form),
-    # then PACK-8 everything (utils/layout.pack_table): unpadded HBM AND
-    # burst-path row gathers (docs/ROUND3.md)
+    # PACK everything (utils/layout.pack_table): test12 at its true
+    # 12-wide width (f = 10; a packed physical row is one aligned tile
+    # row, so narrowing from the round-2 padded 16 costs no gather speed
+    # and saves 1.07 GB of HBM at R2B9 — docs/ROUND3.md)
     import jax
 
     from ..utils.layout import pack_table
-    t16 = np.zeros((sc.test12.shape[0], 16), np.float32)
-    t16[:, :12] = sc.test12[:, :12]
     hf = sc.h_frac
     if hf.shape[0] and bool((hf == hf[0]).all()):
         hf = hf[:1]   # uniform layer spacing: one shared row
     n_cells, lm = sc.value_q.shape
     flm = max(1, 128 // lm)
     q = QuantizedCells(
-        test12=jax.device_put(pack_table(t16)),
+        test12=jax.device_put(pack_table(
+            np.ascontiguousarray(sc.test12[:, :12]))),
         h_frac=jax.device_put(np.ascontiguousarray(hf)),
         value_q=jax.device_put(pack_table(sc.value_q)),
         # alpha starts all-zero: allocate ON device (an uploaded zeros
@@ -241,21 +240,36 @@ def to_device(sc: QuantScene):
     return q, bands
 
 
+def locator_cache_path(cache_key: str, dims_scale: float = 1.0) -> str:
+    """npz cache location of the densified locator bins (scale 1.0 keeps
+    the round-2 name for cache continuity)."""
+    suffix = "" if dims_scale == 1.0 else f"_x{dims_scale:g}"
+    return os.path.join(_CACHE_DIR, f"qloc2_{cache_key}{suffix}.npz")
+
+
 def build_locator_csr_from_scene(sc: QuantScene, dims=None,
-                                 cache_key: str | None = None):
+                                 cache_key: str | None = None,
+                                 dims_scale: float = 1.0):
     """Dense locator for a QuantScene (only corner lat/lon are needed);
     returns (Locator, k).  Built via the CSR binning pass then densified —
     render-side CSR was reverted (1-D gathers are scalar loads on TPU,
     models/locator.densify_csr).
 
     cache_key: npz-caches the dense bins under the scene cache dir (the
-    R2B9 binning pass is ~10 min of host work per bench run)."""
+    R2B9 binning pass is ~10 min of host work per bench run).
+
+    dims_scale: multiplies the default sqrt(N/2) grid side.  0.5 quarters
+    the bin count; max occupancy (k_cap) roughly doubles (measured 18 ->
+    38 at subdiv 8), so the dense table shrinks ~2x — 3.0 GB -> ~1.6 GB
+    at R2B9, the round-3 fix for the r2b9q row OOMing at the HBM ceiling.
+    Wider candidate rows only cost on the full-locate tail, which the
+    fine-map primary keeps at ~6% of locates (docs/ROUND3.md)."""
     import jax
     import jax.numpy as jnp
     from ..models.locator import Locator, build_locator_csr, densify_csr
     from ..utils.layout import pack_table
 
-    path = (os.path.join(_CACHE_DIR, f"qloc2_{cache_key}.npz")
+    path = (locator_cache_path(cache_key, dims_scale)
             if cache_key and dims is None else None)
     if path and os.path.exists(path):
         z = np.load(path)
@@ -275,6 +289,9 @@ def build_locator_csr_from_scene(sc: QuantScene, dims=None,
     ds.lat = sc.lat
     ds.lon = sc.lon
     ds.num_cells = sc.num_cells
+    if dims is None and dims_scale != 1.0:
+        side = max(1, int(np.sqrt(max(sc.num_cells, 1) / 2) * dims_scale))
+        dims = (side, side)
     csr, k_cap = build_locator_csr(ds, dims=dims)
     loc = densify_csr(csr, k_cap)
     if path:

@@ -110,7 +110,7 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
     Two chunked passes over the cell index space (lax.map so each pass is
     one compiled program regardless of scene scale):
       pass 1: field min/max + AABB bulge term + lat/lon bounds
-      pass 2: test12 / value_q tables in PACK-8 layout + per-layer u8
+      pass 2: test12 / value_q tables in PACK layout + per-layer u8
               min/max for the radial band ranges
     """
     import jax
@@ -120,9 +120,9 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
 
     n = 20 * 4 ** subdivisions
     lm = max(8, -(-num_layers // 8) * 8)
-    f16 = 128 // 16                                  # test12 pack factor
+    f12 = 128 // 12                                  # test12 pack factor
     flm = max(1, 128 // lm)                          # value/alpha factor
-    gran = math.lcm(f16, flm)
+    gran = math.lcm(f12, flm)
     n_pad = -(-n // gran) * gran
     chunk_cells = min(max(gran, chunk_cells // gran * gran), n_pad)
     n_chunks = -(-n_pad // chunk_cells)
@@ -188,25 +188,24 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
                 b = tri[:, j] * h_bot
                 c = tri[:, j] * h_top
                 rows.append(jnp.cross(b - a, c - a))
-            t16 = jnp.concatenate(
+            t12 = jnp.concatenate(
                 rows + [jnp.full((chunk_cells, 1), h_bot),
                         jnp.full((chunk_cells, 1), h_top),
-                        jnp.full((chunk_cells, 1), np.float32(num_layers)),
-                        jnp.zeros((chunk_cells, 4), jnp.float32)],
-                axis=1)                                   # (M, 16)
-            t16 = jnp.where(real, t16, 0.0)
+                        jnp.full((chunk_cells, 1), np.float32(num_layers))],
+                axis=1)                                   # (M, 12)
+            t12 = jnp.where(real, t12, 0.0)
             v = field_chunk(tri)                          # (M, nl)
             qv = jnp.clip(jnp.rint((v - lo) * scale), 0, 255) \
                 .astype(jnp.uint8)
             vq = jnp.zeros((chunk_cells, lm), jnp.uint8) \
                 .at[:, :num_layers].set(qv)
             vq = jnp.where(real, vq, jnp.uint8(0))
-            return (t16.reshape(-1, f16 * 16), vq.reshape(-1, flm * lm),
+            return (t12.reshape(-1, f12 * 12), vq.reshape(-1, flm * lm),
                     qv.min(axis=0), qv.max(axis=0))
-        t16p, vqp, qmin, qmax = jax.lax.map(body, starts)
-        return (t16p, vqp, qmin.min(axis=0), qmax.max(axis=0))
+        t12p, vqp, qmin, qmax = jax.lax.map(body, starts)
+        return (t12p, vqp, qmin.min(axis=0), qmax.max(axis=0))
 
-    t16p, vqp, qmin, qmax = pass2(starts, jnp.float32(lo), jnp.float32(hi))
+    t12p, vqp, qmin, qmax = pass2(starts, jnp.float32(lo), jnp.float32(hi))
 
     def merge(stacked, rows_per_chunk, total_rows):
         """(n_chunks, rows, W) -> (total_rows, W); the short tail chunk
@@ -220,12 +219,12 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
             [flat[:keep_head], flat[flat.shape[0] - tail:]], axis=0)
 
     merge_tables = jax.jit(
-        lambda t16p, vqp: (merge(t16p, chunk_cells // f16, n_pad // f16),
+        lambda t12p, vqp: (merge(t12p, chunk_cells // f12, n_pad // f12),
                            merge(vqp, chunk_cells // flm, n_pad // flm)),
         donate_argnums=(0, 1))   # exact-cover case is a free bitcast
 
-    test12, value_q = merge_tables(t16p, vqp)
-    del t16p, vqp
+    test12, value_q = merge_tables(t12p, vqp)
+    del t12p, vqp
 
     # uniform layer spacing -> one shared h_frac row (host arithmetic,
     # same as bigscene.synth_quantized)

@@ -58,18 +58,19 @@ class FineMap(NamedTuple):
 
 def normals_table(planes):
     """f32-tier build input: (N, 3, 4)-or-(N, 12) side planes -> packed
-    (N/8, 128) normals-only table for build_finemap (cols 0..8 read).
-    Offsets are dropped: candidate selection tests UNIT-SPHERE points
-    against radial planes, and a non-zero offset could only lower the
-    primary hit rate, never correctness (the render-side containment
-    test is the full plane equation; misses fall to the full locate)."""
+    12-wide normals-only table for build_finemap (cols 0..8 read; same
+    layout as QuantizedCells.test12).  Offsets are dropped: candidate
+    selection tests UNIT-SPHERE points against radial planes, and a
+    non-zero offset could only lower the primary hit rate, never
+    correctness (the render-side containment test is the full plane
+    equation; misses fall to the full locate)."""
     import jax.numpy as jnp
 
     from ..utils.layout import pack_table
 
     p = np.asarray(planes, np.float32)
     p = p.reshape(p.shape[0], 3, 4)
-    out = np.zeros((p.shape[0], 16), np.float32)
+    out = np.zeros((p.shape[0], 12), np.float32)
     out[:, :9] = p[:, :, :3].reshape(-1, 9)
     return jnp.asarray(pack_table(out))
 
@@ -101,7 +102,7 @@ def _centers_c0(loc, test12, k_cap: int, s_lat: int, s_lon: int,
     cand = packed_gather(loc.bins, bid, k_cap)       # (M, K)
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
-    trows = packed_gather(test12, safe, 16)          # (M, K, 16)
+    trows = packed_gather(test12, safe, 12)          # (M, K, 12)
     ev1 = (trows[..., 0] * px[:, None] + trows[..., 1] * py[:, None]
            + trows[..., 2] * pz[:, None])
     ev2 = (trows[..., 3] * px[:, None] + trows[..., 4] * py[:, None]

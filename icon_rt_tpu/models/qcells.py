@@ -46,11 +46,13 @@ F = np.float32
 
 
 class QuantizedCells(NamedTuple):
-    """All 2-D tables are PACK-8 row layouts (utils/layout.pack_table):
-    logical (N, W) rows stored as (N/f, f*W) with f*W = 128 lanes — zero
+    """All 2-D tables are PACK row layouts (utils/layout.pack_table):
+    logical (N, W) rows stored as (N/f, f*W) with f = 128 // W — near-zero
     HBM padding AND burst-path row gathers (docs/ROUND3.md).  Logical
-    row widths: test12 16, value_q/alpha_q/h_frac Lm."""
-    test12: jnp.ndarray    # packed (N, 16) f32: 3 normals + h_bot h_top nl
+    row widths: test12 12 (f = 10; the round-2 16-wide padding wasted
+    1.07 GB of HBM at R2B9 for no gather speed — a packed physical row is
+    one aligned tile row either way), value_q/alpha_q/h_frac Lm."""
+    test12: jnp.ndarray    # packed (N, 12) f32: 3 normals + h_bot h_top nl
     h_frac: jnp.ndarray    # UNPACKED (N, Lm) u16 — or (1, Lm) when all
                            # columns share the layer spacing (uniform
                            # grids — saves 2.7 GB at R2B9).  Stays
@@ -76,7 +78,7 @@ class QuantizedCells(NamedTuple):
     @property
     def num_cells(self) -> int:
         """Cell capacity incl. pack padding (pad rows are all-zero)."""
-        return self.test12.shape[0] * (self.test12.shape[1] // 16)
+        return self.test12.shape[0] * (self.test12.shape[1] // 12)
 
     @property
     def lm(self) -> int:
@@ -131,9 +133,7 @@ def quantize_cells(ds: ICDataset, lm: int | None = None,
     p2 = _np_plane(bv[:, 1], bv[:, 2], tv[:, 2])
     p3 = _np_plane(bv[:, 2], bv[:, 0], tv[:, 0])
 
-    # stored 16 wide (last 4 pad): 12-wide rows misalign the (8,128) TPU
-    # tile and gather ~5x slower per element (docs/ROUND2.md)
-    test12 = np.zeros((n, 16), F)
+    test12 = np.zeros((n, 12), F)
     test12[:, 0:3] = p1[:, :3]
     test12[:, 3:6] = p2[:, :3]
     test12[:, 6:9] = p3[:, :3]

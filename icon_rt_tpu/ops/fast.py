@@ -839,6 +839,143 @@ def _make_refresh(dense_fn, locate_fn, org, oo, refresh_compact: int,
     return refresh
 
 
+# ===========================================================================
+# Flat-service machinery (round 3): packed state carry + cond-free loop.
+#
+# The round-3 xprof of the r2b9q while body (docs/ROUND3.md) attributed the
+# ~1.6 ms/phase NOT to the locate gathers (~0.4 ms) but to the lax.cond
+# plumbing around them: 25,158 copy-start ops (161 ms cumulative — every
+# cond boundary round-trips each of the ~37 small per-lane state leaves
+# between HBM and VMEM) and 7,104 slice-starts (87 ms — per-leaf compaction
+# gathers).  The flat design removes both causes:
+#   * the while carry is FOUR wide arrays (fmat (L,16) f32, imat (L,16)
+#     i32, one merged test|prof row per cache slot) instead of ~37 (L,)
+#     leaves — packing is pure layout, bit-exact;
+#   * ONE unconditional retire + compact-service per outer iteration at a
+#     fixed capacity (pend overflow stays pending for the next phase — the
+#     tail-overflow invariant of _compact_service, bit-safe) instead of
+#     the nested cond tier ladder;
+#   * the service updates state via 2 row gathers + 3 row scatters on the
+#     packed arrays instead of ~7 gathers + ~12 scatters on the leaves.
+# ===========================================================================
+
+#: fmat columns (f32): tracking scalars + accumulation + ray consts
+_FC = dict(t=0, seg_end=1, seg_hi=2, m=3, alpha=4, ar=5, ag=6, ab=7, aa=8,
+           dx=9, dy=10, dz=11, od=12, s1_lo=13, s1_hi=14)
+_NF = 16   # padded to a multiple of 8 lanes
+#: imat columns (i32; rng is the bitcast u32 stream)
+_IC = dict(band=0, was_in=1, si=2, pending=3, c_cid=4, c_valid=5,
+           c_cid2=6, c_valid2=7, c_mru=8, c_hit=9, in_eval=10, done=11,
+           rng=12, wrote=13, samp=14, wany=15)
+_NI = 16
+
+
+def _pack_q(q) -> dict:
+    """Batch-loop carry dict -> packed arrays (pure layout, bit-exact)."""
+    s, c = q["s"], q["c"]
+    L = s.t.shape[0]
+    f_cols = [s.t, s.seg_end, s.seg_hi, s.m, s.alpha,
+              q["ar"], q["ag"], q["ab"], q["aa"],
+              c.dx, c.dy, c.dz, c.od, c.s1_lo, c.s1_hi]
+    f_cols += [jnp.zeros(L, F32)] * (_NF - len(f_cols))
+    i_cols = [s.band, s.was_in, s.si, s.pending, s.c_cid, s.c_valid,
+              s.c_cid2, s.c_valid2, s.c_mru, s.c_hit, s.in_eval, s.done,
+              jax.lax.bitcast_convert_type(s.rng, jnp.int32),
+              q["wrote"], q["samp"], q["wany"]]
+    return dict(
+        fmat=jnp.stack(f_cols, axis=1),
+        imat=jnp.stack(i_cols, axis=1),
+        row0=jnp.concatenate([s.c_test, s.c_prof], axis=1),
+        row1=jnp.concatenate([s.c_test2, s.c_prof2], axis=1),
+        st_refr=q["st_refr"], st_pend=q["st_pend"],
+    )
+
+
+def _unpack_q(p, test_w: int) -> dict:
+    """Packed arrays -> carry dict of (L,) views (slices fuse into
+    consumers; no data moves until something materializes)."""
+    f, i = p["fmat"], p["imat"]
+    fc = lambda k: f[:, _FC[k]]
+    ic = lambda k: i[:, _IC[k]]
+    s = _State(
+        t=fc("t"), seg_end=fc("seg_end"), seg_hi=fc("seg_hi"),
+        band=ic("band"), was_in=ic("was_in"), m=fc("m"), si=ic("si"),
+        pending=ic("pending"),
+        c_test=p["row0"][:, :test_w], c_prof=p["row0"][:, test_w:],
+        c_cid=ic("c_cid"), c_valid=ic("c_valid"),
+        c_test2=p["row1"][:, :test_w], c_prof2=p["row1"][:, test_w:],
+        c_cid2=ic("c_cid2"), c_valid2=ic("c_valid2"),
+        c_mru=ic("c_mru"), c_hit=ic("c_hit"), in_eval=ic("in_eval"),
+        rng=jax.lax.bitcast_convert_type(ic("rng"), jnp.uint32),
+        alpha=fc("alpha"), done=ic("done"),
+    )
+    c = _Consts(dx=fc("dx"), dy=fc("dy"), dz=fc("dz"), od=fc("od"),
+                s1_lo=fc("s1_lo"), s1_hi=fc("s1_hi"))
+    return dict(s=s, c=c, wrote=ic("wrote"), samp=ic("samp"),
+                ar=fc("ar"), ag=fc("ag"), ab=fc("ab"), aa=fc("aa"),
+                wany=ic("wany"), st_refr=p["st_refr"], st_pend=p["st_pend"])
+
+
+def _compact_service_packed(p, test_w: int, locate_fn, org, oo, P: int
+                            ) -> dict:
+    """_compact_service on the PACKED carry: serve up to P pending lanes
+    with 2 state-row gathers + the locate + 3 row scatters.  Same
+    arithmetic, same fill policy (slot 0 entry-pinned), same overflow
+    invariant (unserved lanes keep pending; their RNG stream is untouched
+    while they wait) as the per-leaf version — outputs are bit-identical.
+    Runs unconditionally: with nothing pending every write is dropped
+    (ok=False ⇒ served=False) and the gathers read dummy rows."""
+    fmat, imat = p["fmat"], p["imat"]
+    L = fmat.shape[0]
+    pend = imat[:, _IC["pending"]] != 0
+    cnt = jnp.sum(pend.astype(jnp.int32))
+    idx = jnp.nonzero(pend, size=P, fill_value=L - 1)[0]
+    ok = jnp.arange(P) < cnt
+    frows = fmat[idx]                                # (P, NF) gather
+    irows = imat[idx]                                # (P, NI) gather
+    tt = frows[:, _FC["t"]]
+    dx = frows[:, _FC["dx"]]
+    dy = frows[:, _FC["dy"]]
+    dz = frows[:, _FC["dz"]]
+    od = frows[:, _FC["od"]]
+    ox, oy, oz = org
+    px = ox + dx * tt
+    py = oy + dy * tt
+    pz = oz + dz * tt
+    r = jnp.sqrt(jnp.maximum(oo + 2.0 * tt * od + tt * tt, 1e-30))
+    new_test, prow, cid, hit, served = locate_fn(px, py, pz, r, ok)
+    upd = served & hit
+    v0 = irows[:, _IC["c_valid"]] != 0   # entry-pin policy (_fill_slots)
+    w0 = upd & ~v0
+    w1 = upd & v0
+    drop = jnp.int32(L)
+    new_row = jnp.concatenate([new_test, prow], axis=1)
+    # served rows' imat update (non-served rows are dropped from the
+    # scatter, so only lanes the service actually touched are written)
+    i32 = lambda b: b.astype(jnp.int32)
+    col = lambda k: irows[:, _IC[k]]
+    upd_cols = {
+        "pending": jnp.zeros_like(col("pending")),
+        "c_cid": jnp.where(w0, cid, col("c_cid")),
+        "c_valid": i32(v0 | w0),
+        "c_cid2": jnp.where(w1, cid, col("c_cid2")),
+        "c_valid2": i32((col("c_valid2") != 0) | w1),
+        "c_mru": jnp.where(upd, i32(v0), col("c_mru")),
+        "c_hit": i32(upd),
+    }
+    iout = jnp.stack([upd_cols.get(k, col(k))
+                      for k, _ in sorted(_IC.items(), key=lambda kv: kv[1])],
+                     axis=1)
+    return dict(
+        fmat=fmat,
+        imat=imat.at[jnp.where(served, idx, drop)].set(iout),
+        row0=p["row0"].at[jnp.where(w0, idx, drop)].set(new_row),
+        row1=p["row1"].at[jnp.where(w1, idx, drop)].set(new_row),
+        st_refr=p["st_refr"] + (cnt > 0).astype(jnp.int32),
+        st_pend=p["st_pend"] + jnp.minimum(cnt, P),
+    )
+
+
 def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 bands: RadialBands, lp, xs, ys, width: int, height: int,
                 steps_per_refresh: int = 8, max_outer: int = 16384,
@@ -934,9 +1071,20 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
 def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
                samples: int, max_outer: int = 16384,
                outer_unroll: int = 1, preserve_cache: bool = True,
-               return_stats: bool = False):
+               return_stats: bool = False, service_cap: int = 0,
+               flat_locate=None):
     """Generic in-lane sample-batching wavefront loop (shared by the f32
     and quantized tiers).
+
+    service_cap > 0 (with flat_locate, the composed compact locate fn)
+    selects the FLAT loop: a packed state carry and ONE unconditional
+    retire + compact service of up to service_cap pending lanes per outer
+    iteration — no lax.cond anywhere in the body (see the flat-service
+    block comment above; the cond plumbing measured ~3x the locate
+    gathers at R2B9).  Pending lanes beyond service_cap wait for the next
+    phase (bit-safe: a waiting lane draws nothing from its RNG stream),
+    so outputs remain bit-identical to the cond ladder and to `samples`
+    sequential single-sample calls.
 
     The single-sample renderers idle ~90% of their lane-step slots: a lane
     that finishes its sample in 3 steps waits for the chunk's slowest lane
@@ -1015,36 +1163,67 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
             st_refr=q["st_refr"], st_pend=q["st_pend"],
         )
 
-    def outer_cond(carry):
-        q, it = carry
-        return jnp.any(q["samp"] < S) & (it < max_outer)
+    if service_cap > 0 and flat_locate is not None:
+        # FLAT loop: packed carry, cond-free body
+        L = fb0.shape[0]
+        test_w = s0.c_test.shape[1]
+        P = min(max(service_cap, 128), L)
+        # org/oo recovered from lp exactly as the tier drivers compute it
+        ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
+        org = (ox, oy, oz)
+        oo = ox * ox + oy * oy + oz * oz
 
-    def outer_body(carry):
-        # unrolled like render_fast's outer_body (same bit-exactness
-        # argument; amortizes while_loop mechanics over several phases)
-        q, it = carry
-        for _ in range(outer_unroll):
-            need_service = jnp.any((q["s"].pending != 0)
-                                   | ((q["s"].done != 0) & (q["samp"] < S)))
-            q = jax.lax.cond(need_service, service, lambda x: x, q)
-            q = dict(q, s=inner_phase(q["s"], q["c"]))
-        return (q, it + outer_unroll)
+        def outer_cond_f(carry):
+            p, it = carry
+            return (jnp.any(p["imat"][:, _IC["samp"]] < S)
+                    & (it < max_outer))
 
-    def service(q):
-        q = jax.lax.cond(
-            jnp.any((q["s"].done != 0) & (q["samp"] < S)),
-            retire, lambda x: x, q)
-        pend_n = jnp.sum((q["s"].pending != 0).astype(jnp.int32))
-        s = jax.lax.cond(pend_n > 0,
-                         lambda s: refresh(s, q["c"]),
-                         lambda s: s, q["s"])
-        return dict(q, s=s,
-                    st_refr=q["st_refr"] + (pend_n > 0).astype(jnp.int32),
-                    st_pend=q["st_pend"] + pend_n)
+        def outer_body_f(carry):
+            p, it = carry
+            for _ in range(outer_unroll):
+                p = _pack_q(retire(_unpack_q(p, test_w)))
+                p = _compact_service_packed(p, test_w, flat_locate,
+                                            org, oo, P)
+                q = _unpack_q(p, test_w)
+                p = _pack_q(dict(q, s=inner_phase(q["s"], q["c"])))
+            return (p, it + outer_unroll)
 
-    q, n_it = jax.lax.while_loop(outer_cond, outer_body,
-                                 (carry0, jnp.int32(0)))
-    q = retire(q)   # the loop exits with final samples un-retired
+        p, n_it = jax.lax.while_loop(outer_cond_f, outer_body_f,
+                                     (_pack_q(carry0), jnp.int32(0)))
+        q = retire(_unpack_q(p, test_w))
+    else:
+        def outer_cond(carry):
+            q, it = carry
+            return jnp.any(q["samp"] < S) & (it < max_outer)
+
+        def outer_body(carry):
+            # unrolled like render_fast's outer_body (same bit-exactness
+            # argument; amortizes while_loop mechanics over several phases)
+            q, it = carry
+            for _ in range(outer_unroll):
+                need_service = jnp.any(
+                    (q["s"].pending != 0)
+                    | ((q["s"].done != 0) & (q["samp"] < S)))
+                q = jax.lax.cond(need_service, service, lambda x: x, q)
+                q = dict(q, s=inner_phase(q["s"], q["c"]))
+            return (q, it + outer_unroll)
+
+        def service(q):
+            q = jax.lax.cond(
+                jnp.any((q["s"].done != 0) & (q["samp"] < S)),
+                retire, lambda x: x, q)
+            pend_n = jnp.sum((q["s"].pending != 0).astype(jnp.int32))
+            s = jax.lax.cond(pend_n > 0,
+                             lambda s: refresh(s, q["c"]),
+                             lambda s: s, q["s"])
+            return dict(
+                q, s=s,
+                st_refr=q["st_refr"] + (pend_n > 0).astype(jnp.int32),
+                st_pend=q["st_pend"] + pend_n)
+
+        q, n_it = jax.lax.while_loop(outer_cond, outer_body,
+                                     (carry0, jnp.int32(0)))
+        q = retire(q)   # the loop exits with final samples un-retired
 
     wany = q["wany"] != 0
     srgb = colorlib.linear_to_srgb(jnp.stack([q["ar"], q["ag"], q["ab"]],
@@ -1064,9 +1243,12 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
                       steps_per_refresh: int = 8, max_outer: int = 16384,
                       sampler: str = "locator", outer_unroll: int = 1,
                       refresh_compact: int = 0, preserve_cache: bool = True,
-                      finemap=None):
+                      finemap=None, service_cap: int = -1):
     """`samples` progressive samples per lane in ONE wavefront loop — the
-    f32-tier instantiation of batch_loop (see its docstring)."""
+    f32-tier instantiation of batch_loop (see its docstring).
+
+    service_cap: flat-service capacity (-1 auto = half the lane width;
+    0 = legacy cond-ladder loop; see batch_loop)."""
     fv = sampler == "wedge"
     nb = bands.num_bands
     edges = bands.edges
@@ -1100,8 +1282,23 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
                           flat_vert=fv)
         return s
 
+    if service_cap < 0:
+        service_cap = max(xs.shape[0] // 2, 128)
+    full5 = lambda px, py, pz, r, ok: (
+        *_locate(loc, packed, px, py, pz, r, ok, flat_vert=fv), ok)
+    if finemap is not None:
+        flat_locate = _two_stage_locate(
+            lambda px, py, pz, r, ok: _locate_fine(finemap, packed, px, py,
+                                                   pz, r, ok, flat_vert=fv),
+            lambda px, py, pz, r, ok: _locate(loc, packed, px, py, pz, r,
+                                              ok, flat_vert=fv),
+            min(max(service_cap // 8, 128), service_cap))
+    else:
+        flat_locate = full5
+
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
-                      samples, max_outer, outer_unroll, preserve_cache)
+                      samples, max_outer, outer_unroll, preserve_cache,
+                      service_cap=service_cap, flat_locate=flat_locate)
 
 
 def _shade(s: _State, c: _Consts, rgb_table, lp, oo, flat_vert: bool = False):
@@ -1137,7 +1334,8 @@ def _shade(s: _State, c: _Consts, rgb_table, lp, oo, flat_vert: bool = False):
                    static_argnames=("width", "height", "steps_per_refresh",
                                     "chunk", "n_active", "return_cost",
                                     "samples", "sampler", "outer_unroll",
-                                    "refresh_compact", "preserve_cache"),
+                                    "refresh_compact", "preserve_cache",
+                                    "service_cap"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       bands: RadialBands, lp, accum, fb, *,
@@ -1150,7 +1348,7 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                       outer_unroll: int = 1,
                       refresh_compact: int = 0,
                       preserve_cache: bool = True,
-                      finemap=None):
+                      finemap=None, service_cap: int = -1):
     """Full-frame progressive step on the fast path (drop-in peer of
     render_frame_ae / render_frame_accel).
 
@@ -1197,7 +1395,8 @@ def render_frame_fast(cells: Cells, packed: PackedCells, loc: Locator,
                 cells, packed, loc, bands, lp, xs, ys, width, height,
                 a0, f0, samples, steps_per_refresh, sampler=sampler,
                 outer_unroll=outer_unroll, refresh_compact=refresh_compact,
-                preserve_cache=preserve_cache, finemap=finemap),
+                preserve_cache=preserve_cache, finemap=finemap,
+                service_cap=service_cap),
             xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
         if n_proc == total:
             return accum_head, fb_head

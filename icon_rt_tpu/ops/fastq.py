@@ -89,7 +89,7 @@ def _test_and_fill(q: QuantizedCells, cand, px, py, pz, r, pend):
     lm = q.lm
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
-    trows = packed_gather(q.test12, safe, 16)        # (M, K, 16)
+    trows = packed_gather(q.test12, safe, 12)        # (M, K, 12)
     ev1 = (trows[..., 0] * px[:, None] + trows[..., 1] * py[:, None]
            + trows[..., 2] * pz[:, None])
     ev2 = (trows[..., 3] * px[:, None] + trows[..., 4] * py[:, None]
@@ -103,7 +103,7 @@ def _test_and_fill(q: QuantizedCells, cand, px, py, pz, r, pend):
     slot = jnp.argmax(inside, axis=1)
     k_oh = (jnp.arange(cand.shape[1])[None, :] == slot[:, None])
     cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
-    t12 = jnp.sum(jnp.where(k_oh[..., None], trows[..., :12], 0.0),
+    t12 = jnp.sum(jnp.where(k_oh[..., None], trows, 0.0),
                   axis=1)                            # (M, 12)
 
     cid2 = jnp.where(pend & hit, cid, 0)
@@ -259,9 +259,12 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                         steps_per_refresh: int = 8, max_outer: int = 16384,
                         outer_unroll: int = 1, refresh_compact: int = 0,
                         preserve_cache: bool = True, finemap=None,
-                        return_stats: bool = False):
+                        return_stats: bool = False, service_cap: int = -1):
     """`samples` progressive samples per lane in ONE wavefront loop — the
-    quantized-tier instantiation of ops/fast.batch_loop."""
+    quantized-tier instantiation of ops/fast.batch_loop.
+
+    service_cap: flat-service capacity (-1 auto = half the lane width;
+    0 = legacy cond-ladder loop; see ops/fast.batch_loop)."""
     nb = bands.num_bands
     edges = bands.edges
     majors = bands.max_opacities
@@ -295,8 +298,25 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                           nb, ml=lm, a_off=lm)
         return s
 
+    if service_cap < 0:
+        service_cap = max(xs.shape[0] // 2, 128)
+    full5 = lambda px, py, pz, r, ok: (
+        *_locate_q(loc, q, k_cap, px, py, pz, r, ok), ok)
+    if finemap is not None:
+        from .fast import _two_stage_locate
+        flat_locate = _two_stage_locate(
+            lambda px, py, pz, r, ok: _locate_q_fine(finemap, q, px, py,
+                                                     pz, r, ok),
+            lambda px, py, pz, r, ok: _locate_q(loc, q, k_cap, px, py,
+                                                pz, r, ok),
+            min(max(service_cap // 8, 128), service_cap))
+    else:
+        flat_locate = full5
+
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
-                      samples, max_outer, outer_unroll, preserve_cache, return_stats=return_stats)
+                      samples, max_outer, outer_unroll, preserve_cache,
+                      return_stats=return_stats, service_cap=service_cap,
+                      flat_locate=flat_locate)
 
 
 @functools.partial(jax.jit,
@@ -304,7 +324,7 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                                     "chunk", "k_cap", "n_active",
                                     "return_cost", "samples",
                                     "outer_unroll", "refresh_compact",
-                                    "preserve_cache"),
+                                    "preserve_cache", "service_cap"),
                    donate_argnames=("accum", "fb"))
 def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                         bands: RadialBands, tf: Transfunc, lp, accum, fb, *,
@@ -316,7 +336,7 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                         outer_unroll: int = 1,
                         refresh_compact: int = 0,
                         preserve_cache: bool = True,
-                        finemap=None):
+                        finemap=None, service_cap: int = -1):
     """Full-frame progressive step on the quantized tier — drop-in peer of
     ops/fast.render_frame_fast (same pixel_perm / n_active / return_cost /
     samples contract)."""
@@ -341,7 +361,8 @@ def render_frame_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                 q, loc, k_cap, bands, tf, lp, xs, ys, width, height,
                 a0, f0, samples, steps_per_refresh,
                 outer_unroll=outer_unroll, refresh_compact=refresh_compact,
-                preserve_cache=preserve_cache, finemap=finemap),
+                preserve_cache=preserve_cache, finemap=finemap,
+                service_cap=service_cap),
             xs_all, ys_all, accum[:n_proc], fb[:n_proc], chunk, n_proc)
         if n_proc == total:
             return accum_head, fb_head

@@ -97,6 +97,13 @@ def main():
     ap.add_argument("--spp", type=int, default=64,
                     help="in-lane samples for the batch probe")
     ap.add_argument("--compact", type=int, default=2048)
+    ap.add_argument("--service-cap", type=int, default=-1,
+                    help="flat-service capacity for the batch probes "
+                         "(-1 auto = chunk/2; 0 = legacy cond ladder)")
+    ap.add_argument("--loc-scale", type=float, default=None,
+                    help="locator grid side scale (default 0.5 at "
+                         "subdiv >= 10 else 1.0; see bigscene."
+                         "build_locator_csr_from_scene)")
     ap.add_argument("--sweep", default="8:1:64,16:1:64,32:1:64,64:1:64",
                     help="spr:unroll:spp configs for the sweep probe")
     args = ap.parse_args()
@@ -105,8 +112,8 @@ def main():
 
     import os as _os
 
-    from icon_rt_tpu.data.bigscene import (_CACHE_DIR,
-                                           build_locator_csr_from_scene,
+    from icon_rt_tpu.data.bigscene import (build_locator_csr_from_scene,
+                                           locator_cache_path,
                                            synth_quantized_cached)
     from icon_rt_tpu.data.device_scene import synth_quantized_device
     from icon_rt_tpu.models.qcells import bake_alpha_q
@@ -128,12 +135,15 @@ def main():
     bands = update_band_majorants(dsc.bands, tf.values, tf.value_range)
     print(f"# tables on device {time.time()-t0:.0f}s", flush=True)
     cache_key = f"s{args.subdiv}_l{args.layers}"
+    loc_scale = args.loc_scale if args.loc_scale is not None else (
+        0.5 if args.subdiv >= 10 else 1.0)
     sc = None
-    if not _os.path.exists(_os.path.join(_CACHE_DIR,
-                                         f"qloc2_{cache_key}.npz")):
+    if not _os.path.exists(locator_cache_path(cache_key, loc_scale)):
         sc = synth_quantized_cached(args.subdiv, args.layers)
         print(f"# host scene for binning {time.time()-t0:.0f}s", flush=True)
-    loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key)
+    loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key,
+                                              dims_scale=loc_scale)
+    del sc
     print(f"# locator on device {time.time()-t0:.0f}s", flush=True)
     stats = dsc.stats
     num_cells = 20 * 4 ** args.subdiv
@@ -196,7 +206,7 @@ def main():
 
         t = timeit_inner(g_body(idx, q.num_cells), jnp.float32(0),
                          tables=q.test12)
-        print(f"gather  test12 (L,16) rows:    {t/L*1e9:8.1f} ns/row",
+        print(f"gather  test12 (L,12) rows:    {t/L*1e9:8.1f} ns/row",
               flush=True)
         t = timeit_inner(g_body(bid, n_bins), jnp.float32(0),
                          tables=loc.bins)
@@ -204,7 +214,7 @@ def main():
               flush=True)
         t = timeit_inner(g_body(idx2, q.num_cells), jnp.float32(0),
                          tables=q.test12)
-        print(f"gather  test12 (L,{k_cap},16) rows: {t/(L*k_cap)*1e9:8.1f} "
+        print(f"gather  test12 (L,{k_cap},12) rows: {t/(L*k_cap)*1e9:8.1f} "
               f"ns/row", flush=True)
         t = timeit_inner(g_body(idx, q.num_cells), jnp.float32(0),
                          tables=q.alpha_q)
@@ -321,7 +331,7 @@ def main():
             return render_fast_q_batch(
                 q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
                 a, f, S, args.spr, refresh_compact=args.compact,
-                finemap=fm_)
+                finemap=fm_, service_cap=args.service_cap)
 
         jax.block_until_ready(bcall(q, loc, fm, a0, f0))
         t0b = time.perf_counter()
@@ -355,7 +365,8 @@ def main():
                 return render_fast_q_batch(
                     q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
                     a, f, S_, spr_, outer_unroll=unr_,
-                    refresh_compact=args.compact, finemap=fm_)
+                    refresh_compact=args.compact, finemap=fm_,
+                    service_cap=args.service_cap)
 
             tc0 = time.perf_counter()
             jax.block_until_ready(scall(q, loc, fm, a0, f0))
@@ -391,7 +402,7 @@ def main():
             return render_fast_q_batch(
                 q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
                 a, f, S, args.spr, refresh_compact=args.compact,
-                finemap=fm_)
+                finemap=fm_, service_cap=args.service_cap)
 
         jax.block_until_ready(xcall(q, loc, fm, a0, f0))
         tdir = "/tmp/xprof_fastq"
@@ -439,7 +450,8 @@ def main():
             return render_fast_q_batch(
                 q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
                 a, f, S, args.spr, refresh_compact=args.compact,
-                finemap=fm_, return_stats=True)
+                finemap=fm_, return_stats=True,
+                service_cap=args.service_cap)
 
         _, _, (n_it, n_refr, n_pend) = bstats(q, loc, fm, a0, f0)
         n_it, n_refr, n_pend = int(n_it), int(n_refr), int(n_pend)

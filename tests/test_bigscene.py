@@ -33,7 +33,7 @@ def test_matches_exact_quantization():
     assert sc.num_cells == ds.num_cells
     # geometry: f32 vs f64 subdivision -> tiny relative differences
     # (device tables are pack-8 rows — unpack for comparison)
-    t_a = unpack_table(q_exact.test12, 16, ds.num_cells)
+    t_a = unpack_table(q_exact.test12, 12, ds.num_cells)
     t_b = sc.test12
     # q_exact.test12 is tile-padded to 16 wide; compare the 12 real columns
     np.testing.assert_allclose(t_b[:, 9:12], t_a[:, 9:12], rtol=1e-6)

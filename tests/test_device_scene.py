@@ -24,7 +24,7 @@ def pair():
 
 def test_geometry_matches(pair):
     sc, dsc = pair
-    t_dev = unpack_table(dsc.cells.test12, 16, N)
+    t_dev = unpack_table(dsc.cells.test12, 12, N)
     # plane normals: same construction, f32 transcendental slack
     np.testing.assert_allclose(t_dev[:, :9], sc.test12[:, :9],
                                rtol=2e-5, atol=2e-2 * np.abs(
@@ -100,7 +100,7 @@ def test_pad_rows_zero():
     all-zero rows."""
     dsc = synth_quantized_device(0, 4)
     lm = dsc.cells.h_frac.shape[1]
-    t = unpack_table(dsc.cells.test12, 16)
+    t = unpack_table(dsc.cells.test12, 12)
     v = unpack_table(dsc.cells.value_q, lm)
     assert t.shape[0] >= 20 and (t[20:] == 0).all()
     assert (v[20:] == 0).all()

@@ -274,3 +274,67 @@ def test_refresh_compact_bit_identical_q(scene):
         np.testing.assert_array_equal(np.asarray(fc), np.asarray(f1))
         np.testing.assert_array_equal(np.asarray(ac), np.asarray(a1))
         assert (np.asarray(f1) != 0).any()
+
+
+def test_flat_service_matches_cond_ladder(scene):
+    """Round-3 flat loop (packed carry + unconditional fixed-capacity
+    service, ops/fast.batch_loop service_cap>0) must reproduce the legacy
+    cond-ladder loop bit-for-bit: packing is pure layout and service
+    cadence never touches a waiting lane's RNG stream."""
+    ds_q, stats, tf, q, loc_csr, k_cap, bands = scene
+    W = H = 32
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    kw = dict(width=W, height=H, chunk=512, samples=4,
+              refresh_compact=128)
+    a1, f1 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf, lp,
+                                 *alloc_frame(W, H), service_cap=0, **kw)
+    a2, f2 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf, lp,
+                                 *alloc_frame(W, H), service_cap=256, **kw)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=0,
+                               atol=2.5e-7)
+
+
+def test_flat_service_tiny_capacity_overflow(scene):
+    """A service capacity far below the pending load (128 of 512 lanes)
+    forces systematic overflow: lanes wait multiple phases for service.
+    Outputs must still be bit-identical (waiting lanes draw nothing)."""
+    ds_q, stats, tf, q, loc_csr, k_cap, bands = scene
+    W = H = 32
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    kw = dict(width=W, height=H, chunk=512, samples=4)
+    a1, f1 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf, lp,
+                                 *alloc_frame(W, H), service_cap=512, **kw)
+    a2, f2 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf, lp,
+                                 *alloc_frame(W, H), service_cap=128, **kw)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=0,
+                               atol=2.5e-7)
+
+
+def test_flat_service_with_finemap(scene):
+    """Flat service composed with the fine-map two-stage locate renders
+    identically to the flat full locate (the map only short-cuts to the
+    same column)."""
+    from icon_rt_tpu.models.finemap import build_finemap
+    ds_q, stats, tf, q, loc_csr, k_cap, bands = scene
+    fm = build_finemap(loc_csr, q.test12, k_cap, factor=2)
+    W = H = 32
+    cam = Camera()
+    cam.view_all(stats.world_bounds_lo, stats.world_bounds_hi)
+    lp = make_launch_params(cam.basis(W, H), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=1e4)
+    kw = dict(width=W, height=H, chunk=512, samples=4)
+    a1, f1 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf, lp,
+                                 *alloc_frame(W, H), **kw)
+    a2, f2 = render_frame_fast_q(q, loc_csr, k_cap, bands, tf, lp,
+                                 *alloc_frame(W, H), finemap=fm, **kw)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=0,
+                               atol=2.5e-7)

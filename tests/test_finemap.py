@@ -57,7 +57,7 @@ def test_slots_cover_subcenters(scene):
     f_lat, f_lon = (int(v) for v in np.asarray(fm.dims))
     n = ds_q.num_cells
     slots = unpack_table(fm.pairs, K_CAND, f_lat * f_lon)
-    t12 = unpack_table(q.test12, 16, n)[:, :9].astype(np.float64)
+    t12 = unpack_table(q.test12, 12, n)[:, :9].astype(np.float64)
     planes = t12.reshape(n, 3, 3)
 
     lat_lo, lat_hi = float(loc.lat_lo), float(loc.lat_hi)
@@ -100,7 +100,7 @@ def test_primary_hit_rate(scene):
     f_lat, f_lon = (int(v) for v in np.asarray(fm.dims))
     n = ds_q.num_cells
     slots = unpack_table(fm.pairs, K_CAND, f_lat * f_lon)
-    t12 = unpack_table(q.test12, 16, n)[:, :9].astype(np.float64)
+    t12 = unpack_table(q.test12, 12, n)[:, :9].astype(np.float64)
     planes = t12.reshape(n, 3, 3)
     lat_lo, lat_hi = float(loc.lat_lo), float(loc.lat_hi)
     lon_lo, lon_hi = float(loc.lon_lo), float(loc.lon_hi)
