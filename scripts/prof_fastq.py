@@ -415,6 +415,7 @@ def main():
             print(f"xprof sees plane '{plane.name}' "
                   f"({len(list(plane.lines))} lines: "
                   f"{[l.name for l in plane.lines][:6]})", flush=True)
+        import re as _re
         for plane in pd.planes:
             if "TPU" not in plane.name and "tpu" not in plane.name:
                 continue
@@ -431,6 +432,17 @@ def main():
             alln = sum(tot.values())
             print(f"xprof plane '{plane.name}': total {alln/1e6:.1f} ms "
                   f"on-device", flush=True)
+            # by op KIND first: the round-3 copy-start discovery came from
+            # this aggregation, not the top-30 list (docs/ROUND3.md)
+            kinds = {}
+            for name, d in tot.items():
+                k = _re.match(r"%?([a-zA-Z_\-]+)", name).group(1)
+                kinds.setdefault(k, [0, 0])
+                kinds[k][0] += d
+                kinds[k][1] += cnt[name]
+            for k, (d, n) in sorted(kinds.items(),
+                                    key=lambda kv: -kv[1][0])[:15]:
+                print(f"  kind {d/1e6:9.2f} ms  x{n:<7d} {k}", flush=True)
             for name, d in rows:
                 print(f"  {d/1e6:9.2f} ms  x{cnt[name]:<6d} {name[:90]}",
                       flush=True)
