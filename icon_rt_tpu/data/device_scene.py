@@ -124,8 +124,16 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
     flm = max(1, 128 // lm)                          # value/alpha factor
     gran = math.lcm(f12, flm)
     n_pad = -(-n // gran) * gran
-    chunk_cells = min(max(gran, chunk_cells // gran * gran), n_pad)
-    n_chunks = -(-n_pad // chunk_cells)
+    # chunk_cells must DIVIDE n_pad: exact cover makes merge() a reshape
+    # that bitcasts the donated chunk stacks in place.  A ragged tail
+    # chunk would force a concatenate whose output can't alias the
+    # donated input ("donated buffers were not usable"), transiently
+    # doubling the ~5.4 GB of R2B9 chunk stacks — the bench r2b9q OOM.
+    m_req = max(1, min(chunk_cells, n_pad) // gran)
+    while (n_pad // gran) % m_req:
+        m_req -= 1
+    chunk_cells = m_req * gran
+    n_chunks = n_pad // chunk_cells
 
     base_tri = jnp.asarray(_base_triangles())
     h_bot = np.float32(radius)

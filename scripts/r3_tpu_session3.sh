@@ -20,8 +20,13 @@ test -f /root/.cache/icon_rt_tpu_scenes/qloc2_s11_l16_x0.5.npz || {
     echo "half-grid locator npz missing — run build_locator_npz.py first" \
         | tee -a $LOG; exit 1; }
 
-# 0. worker alive?
-timeout 120 python -c "import jax; print(jax.devices())" >> $LOG 2>&1 || exit 1
+# 0. worker alive?  Retry up to ~40 min: another probe process may hold
+# the exclusive axon device, or the worker may be mid-recovery.
+i=0
+until timeout 120 python -c "import jax; print(jax.devices())" >> $LOG 2>&1
+do
+    i=$((i+1)); [ $i -ge 20 ] && exit 1; sleep 120
+done
 
 # 1a. legacy loop baseline on the new memory layout
 timeout 4800 python scripts/prof_fastq.py --subdiv 11 --spp 32 \
