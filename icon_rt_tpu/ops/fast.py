@@ -60,6 +60,27 @@ PROF_W = MAX_LAYERS * 2   # heights (32) + classified alpha (32)
 # Packed per-cell records
 # ===========================================================================
 
+# Flat-service auto gate (batch_loop service_cap=-1).  The flat loop —
+# zero lax.cond in the body, one unconditional compact service per outer
+# iteration — wins only where the legacy ladder's cond boundaries are the
+# dominant cost: giant tables whose state copy-starts dwarf the locate
+# work (R2B9-class; xprof kind totals in docs/ROUND3.md).  At small/mid
+# tables the ladder's conds SKIP whole service phases that flat pays
+# unconditionally: measured on TPU, r2b8q 5.60 (ladder) vs 3.53 (flat)
+# full Mray/s, r2b8 5.34 vs 4.32 (docs/ROUND3.md session 5).
+FLAT_AUTO_MIN_CELLS = 16_000_000
+
+
+def _resolve_service_cap(service_cap: int, n_cells: int, lanes: int) -> int:
+    """-1 auto -> flat at half the lane width for giant tables, legacy
+    cond-ladder (0) otherwise; explicit values pass through."""
+    if service_cap < 0:
+        if n_cells >= FLAT_AUTO_MIN_CELLS:
+            return max(lanes // 2, 128)
+        return 0
+    return service_cap
+
+
 class PackedCells(NamedTuple):
     """Per-cell data packed into single gather-rows, split hot/cold.
 
@@ -1247,8 +1268,9 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
     """`samples` progressive samples per lane in ONE wavefront loop — the
     f32-tier instantiation of batch_loop (see its docstring).
 
-    service_cap: flat-service capacity (-1 auto = half the lane width;
-    0 = legacy cond-ladder loop; see batch_loop)."""
+    service_cap: flat-service capacity (-1 auto = flat at half the lane
+    width for giant tables, legacy cond-ladder otherwise — see
+    _resolve_service_cap; 0 = legacy; >0 = flat at that capacity)."""
     fv = sampler == "wedge"
     nb = bands.num_bands
     edges = bands.edges
@@ -1282,11 +1304,13 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
                           flat_vert=fv)
         return s
 
-    if service_cap < 0:
-        service_cap = max(xs.shape[0] // 2, 128)
+    service_cap = _resolve_service_cap(service_cap, cells.num_cells,
+                                       xs.shape[0])
     full5 = lambda px, py, pz, r, ok: (
         *_locate(loc, packed, px, py, pz, r, ok, flat_vert=fv), ok)
-    if finemap is not None:
+    if service_cap <= 0:
+        flat_locate = None
+    elif finemap is not None:
         flat_locate = _two_stage_locate(
             lambda px, py, pz, r, ok: _locate_fine(finemap, packed, px, py,
                                                    pz, r, ok, flat_vert=fv),

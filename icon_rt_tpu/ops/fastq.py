@@ -263,8 +263,9 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
     """`samples` progressive samples per lane in ONE wavefront loop — the
     quantized-tier instantiation of ops/fast.batch_loop.
 
-    service_cap: flat-service capacity (-1 auto = half the lane width;
-    0 = legacy cond-ladder loop; see ops/fast.batch_loop)."""
+    service_cap: flat-service capacity (-1 auto = flat at half the lane
+    width for giant tables, legacy cond-ladder otherwise — see
+    ops/fast._resolve_service_cap; 0 = legacy; >0 = flat)."""
     nb = bands.num_bands
     edges = bands.edges
     majors = bands.max_opacities
@@ -298,12 +299,14 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                           nb, ml=lm, a_off=lm)
         return s
 
-    if service_cap < 0:
-        service_cap = max(xs.shape[0] // 2, 128)
+    from .fast import _resolve_service_cap, _two_stage_locate
+    service_cap = _resolve_service_cap(service_cap, q.num_cells,
+                                       xs.shape[0])
     full5 = lambda px, py, pz, r, ok: (
         *_locate_q(loc, q, k_cap, px, py, pz, r, ok), ok)
-    if finemap is not None:
-        from .fast import _two_stage_locate
+    if service_cap <= 0:
+        flat_locate = None
+    elif finemap is not None:
         flat_locate = _two_stage_locate(
             lambda px, py, pz, r, ok: _locate_q_fine(finemap, q, px, py,
                                                      pz, r, ok),

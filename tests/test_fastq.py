@@ -338,3 +338,15 @@ def test_flat_service_with_finemap(scene):
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=0,
                                atol=2.5e-7)
+
+
+def test_service_cap_auto_gate():
+    """-1 auto picks the flat loop only at giant tables (measured: the
+    ladder wins at r2b8-class scales, docs/ROUND3.md session 5)."""
+    from icon_rt_tpu.ops.fast import (FLAT_AUTO_MIN_CELLS,
+                                      _resolve_service_cap)
+    assert _resolve_service_cap(-1, 1_310_720, 8192) == 0
+    assert _resolve_service_cap(-1, FLAT_AUTO_MIN_CELLS, 8192) == 4096
+    assert _resolve_service_cap(-1, 84_000_000, 100) == 128  # floor
+    assert _resolve_service_cap(0, 84_000_000, 8192) == 0    # explicit
+    assert _resolve_service_cap(256, 1_000, 8192) == 256     # explicit
