@@ -283,6 +283,8 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     tf = make_transfunc(value_range=tuple(stats.data_range))
     q = bake_alpha_q(dsc.cells, tf)
     bands = update_band_majorants(dsc.bands, tf.values, tf.value_range)
+    del dsc   # frees the pre-bake zeros alpha_q (1.34 GB at R2B9): keeping
+    # it resident was the hidden +1.34 GB in every round-3 r2b9q OOM
     cache_key = f"s{subdiv}_l{num_layers}"
     # giant scenes halve the locator grid side (the dense table drops
     # 3.0 -> ~1.6 GB at R2B9 — the round-3 fix for the r2b9q row OOMing

@@ -41,6 +41,19 @@ import numpy as np  # noqa: E402
 WIDTH, HEIGHT = 1920, 1080
 
 
+def _print_hbm(tag: str):
+    """Device-memory snapshot (supported backends only) — the r2b9q OOM
+    hunts need the real resident number, not an accounting estimate."""
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        print(f"# hbm[{tag}]: in_use {ms['bytes_in_use'] / 2**30:.2f} GB, "
+              f"peak {ms.get('peak_bytes_in_use', 0) / 2**30:.2f} GB, "
+              f"limit {ms.get('bytes_limit', 0) / 2**30:.2f} GB",
+              flush=True)
+    except Exception as e:
+        print(f"# hbm[{tag}]: unavailable ({type(e).__name__})", flush=True)
+
+
 def timeit(fn, *args, iters=10, warmup=2, **kw):
     for _ in range(warmup):
         out = fn(*args, **kw)
@@ -133,6 +146,8 @@ def main():
     tf = make_transfunc(value_range=tuple(dsc.stats.data_range))
     q = bake_alpha_q(dsc.cells, tf)
     bands = update_band_majorants(dsc.bands, tf.values, tf.value_range)
+    stats = dsc.stats
+    del dsc   # frees the pre-bake zeros alpha_q (1.34 GB at R2B9)
     print(f"# tables on device {time.time()-t0:.0f}s", flush=True)
     cache_key = f"s{args.subdiv}_l{args.layers}"
     loc_scale = args.loc_scale if args.loc_scale is not None else (
@@ -145,7 +160,7 @@ def main():
                                               dims_scale=loc_scale)
     del sc
     print(f"# locator on device {time.time()-t0:.0f}s", flush=True)
-    stats = dsc.stats
+    _print_hbm("post-locator")
     num_cells = 20 * 4 ** args.subdiv
     print(f"# scene: {num_cells} cells, lm={q.lm}, k_cap={k_cap}, "
           f"bins={np.prod(np.asarray(loc.dims))} "
@@ -246,6 +261,7 @@ def main():
         print(f"# finemap x{args.finemap}: {n_fine} bins, slot fill "
               f"{' '.join(f'{f:.3f}' for f in fill)}, "
               f"built {time.time()-tb:.0f}s", flush=True)
+        _print_hbm("post-finemap")
 
     # step length scale: vary sample t per rep so refreshes hit fresh bins
     dt_seg = float(np.asarray(bands.edges[-1] - bands.edges[0])) / 64.0
