@@ -41,14 +41,25 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["FineMap", "build_finemap", "normals_table", "K_CAND"]
+__all__ = ["FineMap", "build_finemap", "normals_table", "K_CAND",
+           "slots_to_cells", "unpack_candidates"]
 
 #: candidates per fine bin (packed row width; 128 // 4 = 32 bins/row)
 K_CAND = 4
 
 
 class FineMap(NamedTuple):
-    pairs: object          # packed (ceil(F/32), 128) i32, 4 per bin, -1 empty
+    """Candidates are stored as u8 SLOT INDICES into the owning coarse
+    bin's locator candidate row (255 = empty), not absolute cell ids:
+    4 bytes per fine bin instead of 16 (2.68 GB -> 0.67 GB at R2B9's
+    default fine grid — the i32 map + the 10.7 GB scene pinned the v5e
+    at its HBM ceiling).  Lossless: any candidate that can contain a
+    point of the fine bin overlaps the fine bin, hence its lat/lon rect
+    overlaps the enclosing coarse bin, hence conservative binning listed
+    it in that coarse row; only never-matching neighbor imports fall off.
+    Decode = one locator-row gather + a 4xK one-hot select
+    (slots_to_cells), shared by both render tiers."""
+    pairs: object          # packed (ceil(F/32), 128) u8, 4 slots per bin
     lat_lo: object         # () f32 — same angular window as the Locator
     lat_hi: object
     lon_lo: object
@@ -182,6 +193,8 @@ def build_finemap(loc, test12, k_cap: int, factor: int = 2,
     import jax
     import jax.numpy as jnp
 
+    from ..utils.layout import packed_gather
+
     f_lat = int(loc.dims[0]) * factor
     f_lon = int(loc.dims[1]) * factor
     s_lat, s_lon = 2 * f_lat, 2 * f_lon
@@ -227,11 +240,26 @@ def build_finemap(loc, test12, k_cap: int, factor: int = 2,
                       .reshape(R, f_lon, 4)
 
         pool = jnp.concatenate([agg(c0), agg(c1)], axis=-1)   # (R,F,8)
-        sel = _first_distinct4(pool).reshape(-1)              # R*F*4
-        return jax.lax.dynamic_update_slice(buf, sel,
+        sel = _first_distinct4(pool)                          # (R, F, 4)
+        # cell ids -> u8 slot indices into the owning coarse bin's
+        # candidate row (the storage layout — see FineMap).  A selected
+        # id absent from the row (a neighbor import from across a coarse
+        # border whose cell does not overlap this bin) can never contain
+        # a point of this fine bin, so dropping it to 255 is lossless.
+        g = r0 + jnp.arange(R, dtype=jnp.int32)               # fine rows
+        bid = (g // factor)[:, None] * loc_.dims[1] \
+            + (jnp.arange(f_lon, dtype=jnp.int32) // factor)[None, :]
+        rows = packed_gather(loc_.bins, bid, k_cap)           # (R, F, K)
+        eq = rows[:, :, None, :] == sel[:, :, :, None]        # (R,F,4,K)
+        found = jnp.any(eq, axis=-1) & (sel >= 0)
+        slot = jnp.argmax(eq, axis=-1).astype(jnp.uint8)
+        sel8 = jnp.where(found, slot, jnp.uint8(255)).reshape(-1)
+        return jax.lax.dynamic_update_slice(buf, sel8,
                                             (r0 * f_lon * K_CAND,))
 
-    buf = jnp.full((n_pad * K_CAND,), -1, jnp.int32)
+    if k_cap >= 255:
+        raise ValueError(f"k_cap {k_cap} overflows u8 slot encoding")
+    buf = jnp.full((n_pad * K_CAND,), 255, jnp.uint8)
     for r0 in range(0, f_lat, R):
         if r0 + R > f_lat:
             r0 = f_lat - R      # final slab overlaps; writes are idempotent
@@ -242,3 +270,43 @@ def build_finemap(loc, test12, k_cap: int, factor: int = 2,
                    lat_lo=loc.lat_lo, lat_hi=loc.lat_hi,
                    lon_lo=loc.lon_lo, lon_hi=loc.lon_hi,
                    dims=jnp.asarray([f_lat, f_lon], jnp.int32))
+
+
+def slots_to_cells(fm: FineMap, loc, k_cap: int, fbid, slots):
+    """Decode (M, K_CAND) u8 slots of fine bins `fbid` into absolute cell
+    ids (-1 empty): one coarse locator-row gather + a one-hot select.
+    The coarse bin is the integer-divide parent of the fine bin — the
+    exact mapping the build used, so no f32 re-derivation can disagree
+    near bin edges."""
+    import jax.numpy as jnp
+
+    from ..utils.layout import packed_gather
+
+    f_lon = fm.dims[1]
+    factor = fm.dims[0] // loc.dims[0]
+    bid = (fbid // f_lon // factor) * loc.dims[1] + (fbid % f_lon) // factor
+    rows = packed_gather(loc.bins, bid, k_cap)             # (M, K)
+    s32 = slots.astype(jnp.int32)
+    oh = s32[..., None] == jnp.arange(k_cap, dtype=jnp.int32)
+    cid = jnp.sum(jnp.where(oh, rows[:, None, :], 0), axis=-1)
+    return jnp.where(s32 == 255, -1, cid)
+
+
+def unpack_candidates(fm: FineMap, loc, k_cap: int) -> np.ndarray:
+    """Host-side decode of the whole map to (n_fine, K_CAND) i32 cell ids
+    (-1 empty) — test/debug utility (small scenes; materializes the
+    decoded map)."""
+    from ..utils.layout import unpack_table
+
+    f_lat, f_lon = (int(v) for v in np.asarray(fm.dims))
+    n_fine = f_lat * f_lon
+    slots = unpack_table(np.asarray(fm.pairs), K_CAND,
+                         n_fine).astype(np.int32)
+    n_lat, n_lon = (int(v) for v in np.asarray(loc.dims))
+    factor = f_lat // n_lat
+    bins = unpack_table(np.asarray(loc.bins), k_cap)[:n_lat * n_lon]
+    fl = np.arange(n_fine) // f_lon
+    fo = np.arange(n_fine) % f_lon
+    rows = bins[(fl // factor) * n_lon + fo // factor]     # (n_fine, K)
+    out = np.take_along_axis(rows, np.minimum(slots, k_cap - 1), axis=1)
+    return np.where(slots == 255, -1, out).astype(np.int32)

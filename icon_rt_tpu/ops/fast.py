@@ -600,15 +600,16 @@ def _locate(loc: Locator, packed: PackedCells, px, py, pz, r, pend,
     return _test_and_fill_f32(packed, cand, px, py, pz, r, pend, flat_vert)
 
 
-def _locate_fine(fm, packed: PackedCells, px, py, pz, r, pend,
-                 flat_vert: bool = False):
+def _locate_fine(fm, loc: Locator, k_cap: int, packed: PackedCells,
+                 px, py, pz, r, pend, flat_vert: bool = False):
     """Fine-map primary locate, f32 tier (peer of ops/fastq.
-    _locate_q_fine): one 4-candidate map row + 4 test rows instead of
-    bins row + 16.  Misses (hit False) stay pending for the full
-    _locate on a compacted second stage — exactness is structural (the
-    containment test below is the full one, offsets and all; the map
-    only proposes candidates)."""
-    from ..models.finemap import K_CAND
+    _locate_q_fine): one 4-slot map row + one coarse locator row (the
+    u8 slot decode, models/finemap.slots_to_cells) + 4 test rows
+    instead of bins row + k_cap.  Misses (hit False) stay pending for
+    the full _locate on a compacted second stage — exactness is
+    structural (the containment test below is the full one, offsets
+    and all; the map only proposes candidates)."""
+    from ..models.finemap import K_CAND, slots_to_cells
     from ..utils.layout import packed_gather
     f_lat = fm.dims[0]
     f_lon = fm.dims[1]
@@ -619,7 +620,8 @@ def _locate_fine(fm, packed: PackedCells, px, py, pz, r, pend,
     fo = jnp.clip(((lon - fm.lon_lo) / (fm.lon_hi - fm.lon_lo)
                    * f_lon.astype(F32)).astype(jnp.int32), 0, f_lon - 1)
     fbid = jnp.where(pend, fl * f_lon + fo, 0)
-    cand = packed_gather(fm.pairs, fbid, K_CAND)     # (M, 4)
+    slots = packed_gather(fm.pairs, fbid, K_CAND)    # (M, 4) u8
+    cand = slots_to_cells(fm, loc, k_cap, fbid, slots)
     return _test_and_fill_f32(packed, cand, px, py, pz, r, pend, flat_vert)
 
 
@@ -1028,6 +1030,7 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
     oo = ox * ox + oy * oy + oz * oz         # scalar
     org = (ox, oy, oz)
     ud = lp.unit_distance
+    k_cap = int(loc.bins.shape[1])           # f32 bins are unpacked (B, K)
 
     init, consts, wrote = _init_lanes(lp, xs, ys, width, height,
                                       edges, majors, oo, nb,
@@ -1039,9 +1042,9 @@ def render_fast(cells: Cells, packed: PackedCells, loc: Locator,
                                             pend, flat_vert=fv),
         org, oo, refresh_compact,
         primary_locate=None if finemap is None else
-        (lambda px, py, pz, r, pend: _locate_fine(finemap, packed, px, py,
-                                                  pz, r, pend,
-                                                  flat_vert=fv)))
+        (lambda px, py, pz, r, pend: _locate_fine(finemap, loc, k_cap,
+                                                  packed, px, py, pz, r,
+                                                  pend, flat_vert=fv)))
 
     def inner_phase(s: _State) -> _State:
         # Python-unrolled on purpose: a lax.fori_loop would make every step
@@ -1279,6 +1282,7 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
     oo = ox * ox + oy * oy + oz * oz
     org = (ox, oy, oz)
     ud = lp.unit_distance
+    k_cap = int(loc.bins.shape[1])           # f32 bins are unpacked (B, K)
 
     def init(samp):
         return _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
@@ -1291,9 +1295,9 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
                                             pend, flat_vert=fv),
         org, oo, refresh_compact,
         primary_locate=None if finemap is None else
-        (lambda px, py, pz, r, pend: _locate_fine(finemap, packed, px, py,
-                                                  pz, r, pend,
-                                                  flat_vert=fv)))
+        (lambda px, py, pz, r, pend: _locate_fine(finemap, loc, k_cap,
+                                                  packed, px, py, pz, r,
+                                                  pend, flat_vert=fv)))
 
     def shade(s, c):
         return _shade(s, c, packed.rgb, lp, oo, flat_vert=fv)
@@ -1312,8 +1316,9 @@ def render_fast_batch(cells: Cells, packed: PackedCells, loc: Locator,
         flat_locate = None
     elif finemap is not None:
         flat_locate = _two_stage_locate(
-            lambda px, py, pz, r, ok: _locate_fine(finemap, packed, px, py,
-                                                   pz, r, ok, flat_vert=fv),
+            lambda px, py, pz, r, ok: _locate_fine(finemap, loc, k_cap,
+                                                   packed, px, py, pz, r,
+                                                   ok, flat_vert=fv),
             lambda px, py, pz, r, ok: _locate(loc, packed, px, py, pz, r,
                                               ok, flat_vert=fv),
             min(max(service_cap // 8, 128), service_cap))

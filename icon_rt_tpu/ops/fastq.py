@@ -140,13 +140,15 @@ def _refresh_q(s: _State, c: _Consts, loc: Locator, q: QuantizedCells,
     return _fill_slots(s, pend & hit, test16, prof, cid)
 
 
-def _locate_q_fine(fm, q: QuantizedCells, px, py, pz, r, pend):
-    """Fine-map primary locate: ONE 4-candidate map row + 4 candidate
-    test rows instead of the coarse bins row + 16 test rows.  `hit`
-    false means the point is in none of the mapped candidates — the
-    caller keeps those lanes pending for the authoritative full query
-    (ops/fast._make_refresh second stage)."""
-    from ..models.finemap import K_CAND
+def _locate_q_fine(fm, loc: Locator, k_cap: int, q: QuantizedCells,
+                   px, py, pz, r, pend):
+    """Fine-map primary locate: one 4-slot map row + one coarse locator
+    row (the u8 slot decode, models/finemap.slots_to_cells) + 4
+    candidate test rows instead of the coarse bins row + k_cap test
+    rows.  `hit` false means the point is in none of the mapped
+    candidates — the caller keeps those lanes pending for the
+    authoritative full query (ops/fast._make_refresh second stage)."""
+    from ..models.finemap import K_CAND, slots_to_cells
     from ..utils.layout import packed_gather
     f_lat = fm.dims[0]
     f_lon = fm.dims[1]
@@ -157,7 +159,8 @@ def _locate_q_fine(fm, q: QuantizedCells, px, py, pz, r, pend):
     fo = jnp.clip(((lon - fm.lon_lo) / (fm.lon_hi - fm.lon_lo)
                    * f_lon.astype(F32)).astype(jnp.int32), 0, f_lon - 1)
     fbid = jnp.where(pend, fl * f_lon + fo, 0)
-    cand = packed_gather(fm.pairs, fbid, K_CAND)     # (M, 4)
+    slots = packed_gather(fm.pairs, fbid, K_CAND)    # (M, 4) u8
+    cand = slots_to_cells(fm, loc, k_cap, fbid, slots)
     return _test_and_fill(q, cand, px, py, pz, r, pend)
 
 
@@ -216,8 +219,9 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                                               r, pend),
         org, oo, refresh_compact,
         primary_locate=None if finemap is None else
-        (lambda px, py, pz, r, pend: _locate_q_fine(finemap, q, px, py,
-                                                    pz, r, pend)))
+        (lambda px, py, pz, r, pend: _locate_q_fine(finemap, loc, k_cap,
+                                                    q, px, py, pz, r,
+                                                    pend)))
 
     def inner_phase(s: _State) -> _State:
         # Python-unrolled so XLA fuses all steps into one kernel per outer
@@ -285,8 +289,9 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
                                               r, pend),
         org, oo, refresh_compact,
         primary_locate=None if finemap is None else
-        (lambda px, py, pz, r, pend: _locate_q_fine(finemap, q, px, py,
-                                                    pz, r, pend)))
+        (lambda px, py, pz, r, pend: _locate_q_fine(finemap, loc, k_cap,
+                                                    q, px, py, pz, r,
+                                                    pend)))
 
     lutp = pack_lut(tf)
 
@@ -308,8 +313,8 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
         flat_locate = None
     elif finemap is not None:
         flat_locate = _two_stage_locate(
-            lambda px, py, pz, r, ok: _locate_q_fine(finemap, q, px, py,
-                                                     pz, r, ok),
+            lambda px, py, pz, r, ok: _locate_q_fine(finemap, loc, k_cap,
+                                                     q, px, py, pz, r, ok),
             lambda px, py, pz, r, ok: _locate_q(loc, q, k_cap, px, py,
                                                 pz, r, ok),
             min(max(service_cap // 8, 128), service_cap))

@@ -253,7 +253,7 @@ def main():
         def _fill(p):  # fused reduces: no (n_fine, K) copy, no f32 temp
             cols = jnp.arange(p.shape[1]) % K_CAND
             return jnp.stack([
-                jnp.mean(jnp.where(cols[None, :] == k, p >= 0,
+                jnp.mean(jnp.where(cols[None, :] == k, p != 255,
                                    False).astype(jnp.float32)) * K_CAND
                 for k in range(K_CAND)])
 
@@ -288,8 +288,8 @@ def main():
             pz = org[2] + consts.dz * tt
             r = jnp.sqrt(jnp.maximum(
                 oo + 2.0 * tt * consts.od + tt * tt, 1e-30))
-            _, prof, _, hit = _locate_q_fine(fm_, q_, px, py, pz, r,
-                                             jnp.ones(L, bool))
+            _, prof, _, hit = _locate_q_fine(fm_, loc, k_cap, q_, px,
+                                             py, pz, r, jnp.ones(L, bool))
             return s._replace(t=s.t + jnp.sum(prof[:, 0]) * 0.0
                               + hit.astype(jnp.float32) * 0.0)
 
@@ -318,7 +318,8 @@ def main():
                 pz = oz + consts.dz * tt
                 r = jnp.sqrt(jnp.maximum(
                     oo + 2.0 * tt * consts.od + tt * tt, 1e-30))
-                *_, hf = _locate_q_fine(fm_, q_, px, py, pz, r, ones)
+                *_, hf = _locate_q_fine(fm_, loc_, k_cap, q_, px, py,
+                                        pz, r, ones)
                 *_, hc = _locate_q(loc_, q_, k_cap, px, py, pz, r, ones)
                 # count only in-volume points (full locate hits)
                 hits_f = hits_f + jnp.sum((hf & hc).astype(jnp.float32))

@@ -15,7 +15,8 @@ import pytest
 
 from icon_rt_tpu.data import synthetic
 from icon_rt_tpu.models.cells import compute_stats
-from icon_rt_tpu.models.finemap import K_CAND, build_finemap
+from icon_rt_tpu.models.finemap import K_CAND, build_finemap, \
+    unpack_candidates
 from icon_rt_tpu.models.locator import build_locator_csr, densify_csr
 from icon_rt_tpu.models.qcells import bake_alpha_q, quantize_cells, \
     quantize_dataset_values
@@ -56,7 +57,7 @@ def test_slots_cover_subcenters(scene):
     ds_q, stats, tf, q, loc, k_cap, bands, fm = scene
     f_lat, f_lon = (int(v) for v in np.asarray(fm.dims))
     n = ds_q.num_cells
-    slots = unpack_table(fm.pairs, K_CAND, f_lat * f_lon)
+    slots = unpack_candidates(fm, loc, k_cap)
     t12 = unpack_table(q.test12, 12, n)[:, :9].astype(np.float64)
     planes = t12.reshape(n, 3, 3)
 
@@ -83,7 +84,7 @@ def test_slots_cover_subcenters(scene):
 def test_slots_distinct(scene):
     ds_q, stats, tf, q, loc, k_cap, bands, fm = scene
     f_lat, f_lon = (int(v) for v in np.asarray(fm.dims))
-    slots = unpack_table(fm.pairs, K_CAND, f_lat * f_lon)
+    slots = unpack_candidates(fm, loc, k_cap)
     filled = slots >= 0
     assert filled[:, 0].mean() > 0.99        # sub-center 0 nearly always found
     for a in range(K_CAND):
@@ -99,7 +100,7 @@ def test_primary_hit_rate(scene):
     ds_q, stats, tf, q, loc, k_cap, bands, fm = scene
     f_lat, f_lon = (int(v) for v in np.asarray(fm.dims))
     n = ds_q.num_cells
-    slots = unpack_table(fm.pairs, K_CAND, f_lat * f_lon)
+    slots = unpack_candidates(fm, loc, k_cap)
     t12 = unpack_table(q.test12, 12, n)[:, :9].astype(np.float64)
     planes = t12.reshape(n, 3, 3)
     lat_lo, lat_hi = float(loc.lat_lo), float(loc.lat_hi)
@@ -176,7 +177,7 @@ def test_two_stage_tail_overflow(scene):
     ones = jnp.ones(P, bool)
 
     def prim_all_miss(px, py, pz, r, ok):
-        t, p, c, h = _locate_q_fine(fm, q, px, py, pz, r, ok)
+        t, p, c, h = _locate_q_fine(fm, loc, k_cap, q, px, py, pz, r, ok)
         return t, p, c, jnp.zeros_like(h)
 
     two = _two_stage_locate(
