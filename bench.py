@@ -305,10 +305,12 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
         # the map is O(fine-bin count) HBM (2.7 GB at R2B9's default fine
         # grid) next to the scene; on ResourceExhausted fall back to a
         # coarser map (lower primary hit rate) rather than losing the row
-        from icon_rt_tpu.models.finemap import build_finemap
+        from icon_rt_tpu.data.bigscene import build_finemap_cached
         t0 = time.perf_counter()
         try:
-            fm = build_finemap(loc, q.test12, k_cap, factor=fm_factor)
+            fm = build_finemap_cached(loc, q.test12, k_cap,
+                                      factor=fm_factor, cache_key=cache_key,
+                                      dims_scale=loc_scale)
             np.asarray(fm.dims)
             print(f"# finemap x{fm_factor} built in "
                   f"{time.perf_counter() - t0:.0f}s", file=sys.stderr,

@@ -247,6 +247,48 @@ def locator_cache_path(cache_key: str, dims_scale: float = 1.0) -> str:
     return os.path.join(_CACHE_DIR, f"qloc2_{cache_key}{suffix}.npz")
 
 
+def finemap_cache_path(cache_key: str, dims_scale: float,
+                       factor: int) -> str:
+    suffix = "" if dims_scale == 1.0 else f"_x{dims_scale:g}"
+    return os.path.join(_CACHE_DIR, f"fmap_{cache_key}{suffix}_f{factor}.npz")
+
+
+def build_finemap_cached(loc, test12, k_cap: int, factor: int,
+                         cache_key: str | None = None,
+                         dims_scale: float = 1.0):
+    """npz-cached models/finemap.build_finemap: the device-side build is
+    ~10-17 min at R2B9 per PROCESS (bench rows run in subprocesses), while
+    the u8 map is only 0.67 GB — one relay upload (~2 min) on later runs.
+    Valid to key by (scene, locator scale, factor): the map's slot
+    encoding is relative to the locator rows, which the same key caches."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.finemap import FineMap, build_finemap
+
+    path = (finemap_cache_path(cache_key, dims_scale, factor)
+            if cache_key else None)
+    if path and os.path.exists(path):
+        z = np.load(path)
+        return FineMap(pairs=jax.device_put(z["pairs"]),
+                       lat_lo=jnp.float32(z["lat_lo"]),
+                       lat_hi=jnp.float32(z["lat_hi"]),
+                       lon_lo=jnp.float32(z["lon_lo"]),
+                       lon_hi=jnp.float32(z["lon_hi"]),
+                       dims=jnp.asarray(z["dims"]))
+    fm = build_finemap(loc, test12, k_cap, factor=factor)
+    if path:
+        try:
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            np.savez(path, pairs=np.asarray(fm.pairs),
+                     lat_lo=float(fm.lat_lo), lat_hi=float(fm.lat_hi),
+                     lon_lo=float(fm.lon_lo), lon_hi=float(fm.lon_hi),
+                     dims=np.asarray(fm.dims))
+        except OSError:
+            pass
+    return fm
+
+
 def build_locator_csr_from_scene(sc: QuantScene, dims=None,
                                  cache_key: str | None = None,
                                  dims_scale: float = 1.0):

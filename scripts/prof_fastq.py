@@ -118,7 +118,9 @@ def main():
                          "subdiv >= 10 else 1.0; see bigscene."
                          "build_locator_csr_from_scene)")
     ap.add_argument("--sweep", default="8:1:64,16:1:64,32:1:64,64:1:64",
-                    help="spr:unroll:spp configs for the sweep probe")
+                    help="spr:unroll:spp[:service_cap[:lanes]] configs for "
+                         "the sweep probe (cap/lanes default to "
+                         "--service-cap/--chunk)")
     args = ap.parse_args()
     L = args.chunk
     probes = args.probes.split(",")
@@ -238,9 +240,10 @@ def main():
 
     fm = None
     if args.finemap:
-        from icon_rt_tpu.models.finemap import build_finemap
+        from icon_rt_tpu.data.bigscene import build_finemap_cached
         tb = time.time()
-        fm = build_finemap(loc, q.test12, k_cap, factor=args.finemap)
+        fm = build_finemap_cached(loc, q.test12, k_cap, factor=args.finemap,
+                                  cache_key=cache_key, dims_scale=loc_scale)
         jax.block_until_ready(fm.pairs)
         n_fine = int(np.asarray(fm.dims[0])) * int(np.asarray(fm.dims[1]))
         # map stats via a cheap device reduction (pairs is pack-32); a
@@ -373,17 +376,25 @@ def main():
         from icon_rt_tpu.ops.fastq import render_fast_q_batch
 
         for cfg in args.sweep.split(","):
-            spr_, unr_, S_ = (int(x) for x in cfg.split(":"))
-            a0 = jnp.zeros((L, 4), jnp.float32)
-            f0 = jnp.zeros((L,), jnp.uint32)
+            # spr:unroll:spp[:service_cap[:lanes]] — cap/lanes default to
+            # the process-level args so old 3-field entries keep working
+            parts = [int(x) for x in cfg.split(":")]
+            spr_, unr_, S_ = parts[:3]
+            cap_ = parts[3] if len(parts) > 3 else args.service_cap
+            L_ = parts[4] if len(parts) > 4 else L
+            pix_ = jnp.asarray(perm[n_active // 4: n_active // 4 + L_])
+            ys_, xs_ = jnp.divmod(pix_, WIDTH)
+            a0 = jnp.zeros((L_, 4), jnp.float32)
+            f0 = jnp.zeros((L_,), jnp.uint32)
 
             @jax.jit
-            def scall(q_, loc_, fm_, a, f, spr_=spr_, unr_=unr_, S_=S_):
+            def scall(q_, loc_, fm_, a, f, spr_=spr_, unr_=unr_, S_=S_,
+                      cap_=cap_, xs_=xs_, ys_=ys_):
                 return render_fast_q_batch(
-                    q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
+                    q_, loc_, k_cap, bands, tf, lp, xs_, ys_, WIDTH, HEIGHT,
                     a, f, S_, spr_, outer_unroll=unr_,
                     refresh_compact=args.compact, finemap=fm_,
-                    service_cap=args.service_cap)
+                    service_cap=cap_)
 
             tc0 = time.perf_counter()
             jax.block_until_ready(scall(q, loc, fm, a0, f0))
@@ -394,10 +405,34 @@ def main():
                 a1, f1 = scall(q, loc, fm, a0, f0)
             np.asarray(f1)
             dt = (time.perf_counter() - t0s) / reps
-            print(f"sweep spr={spr_} unroll={unr_} S={S_} L={L} "
+            print(f"sweep spr={spr_} unroll={unr_} S={S_} L={L_} "
+                  f"cap={cap_} "
                   f"fm={'x'+str(args.finemap) if fm is not None else 'off'}:"
-                  f" {dt*1e3:8.1f} ms/call ({L*S_/dt/1e6:6.2f} Msamples/s)"
+                  f" {dt*1e3:8.1f} ms/call ({L_*S_/dt/1e6:6.2f} Msamples/s)"
                   f"  [compile+warm {t_compile:.0f}s]", flush=True)
+
+    if "hlo" in probes:
+        # dump the TPU-optimized HLO of the batched call so xprof op names
+        # (%fusion.N, %copy-start.N) can be mapped to HLO offline — the
+        # flat-loop xprof shows ~25% of call time in copy-start ops whose
+        # (8192, 1) shapes the Python source never names
+        from icon_rt_tpu.ops.fastq import render_fast_q_batch
+
+        S = args.spp
+        a0 = jnp.zeros((L, 4), jnp.float32)
+        f0 = jnp.zeros((L,), jnp.uint32)
+
+        def hcall(q_, loc_, fm_, a, f):
+            return render_fast_q_batch(
+                q_, loc_, k_cap, bands, tf, lp, xs, ys, WIDTH, HEIGHT,
+                a, f, S, args.spr, refresh_compact=args.compact,
+                finemap=fm_, service_cap=args.service_cap)
+
+        txt = jax.jit(hcall).lower(q, loc, fm, a0, f0).compile().as_text()
+        out = f"/tmp/fastq_hlo_cap{args.service_cap}.txt"
+        with open(out, "w") as fh:
+            fh.write(txt)
+        print(f"# optimized HLO ({len(txt)} bytes) -> {out}", flush=True)
 
     if "xprof" in probes:
         # xplane trace of ONE real batched call -> top ops by device time

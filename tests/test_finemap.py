@@ -230,3 +230,32 @@ def test_finemap_render_bit_identical_f32(scene):
         np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
         np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1))
         assert (np.asarray(f1) != 0).any()
+
+
+def test_finemap_cache_roundtrip(scene, tmp_path, monkeypatch):
+    """build_finemap_cached: the npz round trip restores the map
+    bit-exactly (pairs, window, dims), and a cache hit never calls the
+    builder (the device build is ~10-17 min at R2B9 per bench-row
+    subprocess; the cache exists to pay it once)."""
+    from icon_rt_tpu.data import bigscene
+
+    ds_q, stats, tf, q, loc, k_cap, bands, fm = scene
+    monkeypatch.setattr(bigscene, "_CACHE_DIR", str(tmp_path))
+    fm1 = bigscene.build_finemap_cached(loc, q.test12, k_cap, factor=2,
+                                        cache_key="t_l5")
+    np.testing.assert_array_equal(np.asarray(fm1.pairs),
+                                  np.asarray(fm.pairs))
+
+    def boom(*a, **k):
+        raise AssertionError("cache miss: builder called on second load")
+
+    monkeypatch.setattr(bigscene, "build_finemap", boom, raising=False)
+    import icon_rt_tpu.models.finemap as fmod
+    monkeypatch.setattr(fmod, "build_finemap", boom)
+    fm2 = bigscene.build_finemap_cached(loc, q.test12, k_cap, factor=2,
+                                        cache_key="t_l5")
+    np.testing.assert_array_equal(np.asarray(fm2.pairs),
+                                  np.asarray(fm.pairs))
+    for a in ("lat_lo", "lat_hi", "lon_lo", "lon_hi"):
+        assert float(getattr(fm2, a)) == float(getattr(fm, a))
+    np.testing.assert_array_equal(np.asarray(fm2.dims), np.asarray(fm.dims))
