@@ -193,6 +193,24 @@ def build(argv):
                 lambda v: state.__setitem__("accel_mode", v),
                 options=["sphere accel", "grid accel"])
 
+    def set_opacity(v):
+        """Live opacity-scale slider (the reference's ImGui opacityScale,
+        ref: tfe.cpp:29-50).  Routed through the TFE dirty flags when one
+        exists so the next harvest fires on_tf_update, which takes the
+        affine scale-only fast path; headless pipelines mutate the
+        transfunc state and fire the handler directly."""
+        if pl.tfe is not None:
+            pl.tfe.set_opacity_scale(float(v))
+        elif pl.transfunc is not None:
+            pl.transfunc.opacity = float(v)
+            on_tf_update(pl.transfunc, pl.tf_index)
+
+    pl.ui_param("Opacity scale", lambda: (pl.tfe.get_opacity_scale()
+                                          if pl.tfe is not None else
+                                          (pl.transfunc.opacity
+                                           if pl.transfunc else 1.0)),
+                set_opacity, minf=0.0, maxf=10.0)
+
     # -- accel structures: built lazily on first use, majorants refreshed on
     # every TF edit (ref: hostCode.cu:440-701 builds all up front on a GPU;
     # lazily here so a toggled-in mode pays its build once) -----------------
@@ -272,7 +290,18 @@ def build(argv):
 
     def on_tf_update(tf_state, index):
         """TF-edit handler: refresh device LUT + majorants of every BUILT
-        structure (ref: hostCode.cu:878-909)."""
+        structure (ref: hostCode.cu:878-909).
+
+        Pure opacity-scale edits (LUT + ranges unchanged) skip the full
+        profile re-bake: the baked alpha is affine in the scale
+        (ops/fast.pack_alpha_scale_parts), so the edit costs one FMA over
+        (N, 32) — the same cost profile as the reference, whose scale is
+        a postClassify uniform and whose edits pay only
+        computeMaxOpacities (ref: hostCode.cu:878-909)."""
+        sig = (tf_state.lut.tobytes(), tf_state.value_range.tobytes(),
+               tf_state.rel_range.tobytes())
+        scale_only = device.get("tf_sig") == sig
+        device["tf_sig"] = sig
         device["tf"] = tf_state.to_device()
         if struct["bands"] is not None:
             struct["bands"] = update_band_majorants(
@@ -286,8 +315,20 @@ def build(argv):
             struct["grid"] = update_majorants(
                 struct["grid"], device["tf"].values,
                 device["tf"].value_range)
+        if not scale_only:
+            struct["alpha_parts"] = None   # parts are baked vs LUT+range
         if struct["packed"] is not None:
-            struct["packed"] = pack_cells(cells, device["tf"])
+            if scale_only:
+                from icon_rt_tpu.ops.fast import (apply_opacity_scale,
+                                                  pack_alpha_scale_parts)
+                if struct.get("alpha_parts") is None:
+                    struct["alpha_parts"] = pack_alpha_scale_parts(
+                        cells, device["tf"])
+                struct["packed"] = apply_opacity_scale(
+                    struct["packed"], struct["alpha_parts"],
+                    device["tf"].opacity_scale)
+            else:
+                struct["packed"] = pack_cells(cells, device["tf"])
         if struct.get("bands_w") is not None:
             struct["bands_w"] = update_band_majorants(
                 struct["bands_w"], device["tf"].values,

@@ -104,7 +104,17 @@ window.addEventListener('keydown', e =>
 fetch('/params').then(r => r.json()).then(ps => {
   const bar = document.getElementById('params');
   for (const p of ps) {
-    if (!p.options) continue;
+    if (!p.options) {
+      if (typeof p.value !== 'number' || p.minf == null) continue;
+      const l = document.createElement('label');
+      l.textContent = ' ' + p.name + ' ';
+      const r = document.createElement('input');
+      r.type = 'range'; r.min = p.minf; r.max = p.maxf;
+      r.step = (p.maxf - p.minf) / 200; r.value = p.value;
+      r.oninput = () => post({type:'param', name:p.name, value:+r.value});
+      l.appendChild(r); bar.appendChild(l);
+      continue;
+    }
     const s = document.createElement('select');
     for (const [i, o] of p.options.entries()) {
       const op = document.createElement('option');
@@ -238,7 +248,11 @@ def serve(pl, port: int = 8890, host: str = "127.0.0.1",
         if isinstance(val, (np.floating, np.integer)):
             val = val.item()
         params.append({"name": p.name, "options": opts, "value": val,
-                       "string": isinstance(val, str)})
+                       "string": isinstance(val, str),
+                       "minf": (None if p.meta.get("minf") is None
+                                else float(p.meta["minf"])),
+                       "maxf": (None if p.meta.get("maxf") is None
+                                else float(p.meta["maxf"]))})
     st.params_json = json.dumps(params).encode()
 
     def rasterize_tfe():

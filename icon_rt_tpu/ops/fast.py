@@ -192,6 +192,68 @@ def _classify_channels(values, nl, tf: Transfunc):
     return [o.reshape(-1, w)[:n] for o in out]
 
 
+@jax.jit
+def pack_alpha_scale_parts(cells: Cells, tf: Transfunc
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(A, B) with the baked per-layer alpha == A + B * opacity_scale —
+    EXACTLY the postClassify expression (ref: deviceCode.cu:134): the
+    reference's asymmetric lerp `a1*frac + a2*(1-frac)*scale` is affine
+    in the scale, so the two components can be baked once and any pure
+    opacity-scale edit becomes one fused FMA over (N, 32) instead of a
+    full 300-level classify re-bake (apply_opacity_scale).  The reference
+    analog is exact: its scale lives OUTSIDE the LUT (a postClassify
+    uniform), so its scale edits cost only computeMaxOpacities
+    (ref: hostCode.cu:878-909); this restores that cost profile for the
+    baked-profile design."""
+    size = tf.size
+    values = cells.value
+    vn = (values - tf.value_range[0]) \
+        / (tf.value_range[1] - tf.value_range[0])
+    vs = vn * jnp.float32(size)
+    idx = vs.astype(jnp.int32)
+    frac = vs - idx.astype(jnp.float32)
+    i1 = jnp.clip(idx, 0, size - 1)
+    i2 = jnp.clip(idx + 1, 0, size - 1)
+    lev = jnp.arange(size, dtype=jnp.int32)
+    lut_a = tf.values[:, 3]
+
+    def parts_rows(args):
+        i1c, i2c, fr = args
+        a1 = jnp.sum(jnp.where(i1c[..., None] == lev, lut_a,
+                               jnp.float32(0.0)), axis=-1)
+        a2 = jnp.sum(jnp.where(i2c[..., None] == lev, lut_a,
+                               jnp.float32(0.0)), axis=-1)
+        return a1 * fr, a2 * (1.0 - fr)
+
+    n, w = values.shape
+    rows = max(1, min(n, (1 << 21) // w))
+    if n <= rows:
+        return parts_rows((i1, i2, frac))
+    pad = (-n) % rows
+    if pad:
+        i1 = jnp.concatenate([i1, jnp.zeros((pad, w), i1.dtype)])
+        i2 = jnp.concatenate([i2, jnp.zeros((pad, w), i2.dtype)])
+        frac = jnp.concatenate([frac, jnp.zeros((pad, w), frac.dtype)])
+    k = (n + pad) // rows
+    a, b = jax.lax.map(parts_rows, (i1.reshape(k, rows, w),
+                                    i2.reshape(k, rows, w),
+                                    frac.reshape(k, rows, w)))
+    return a.reshape(-1, w)[:n], b.reshape(-1, w)[:n]
+
+
+@jax.jit
+def apply_opacity_scale(packed: PackedCells, parts, scale) -> PackedCells:
+    """Re-derive the baked alpha half of `prof` for a new opacity scale
+    from pack_alpha_scale_parts: one fused multiply-add over (N, 32).
+    RGB and heights are scale-independent (postClassify scales only the
+    alpha channel) and are left untouched."""
+    a, b = parts
+    alpha = a + b * jnp.float32(scale)
+    prof = jax.lax.dynamic_update_slice(
+        packed.prof, alpha, (0, MAX_LAYERS))
+    return packed._replace(prof=prof)
+
+
 def pack_cells_wedge(cells: Cells, tf: Transfunc) -> PackedCells:
     """Packed tables for the FAST WEDGE sampler (the reference's mode 2 /
     cuBQL path made gather-free).

@@ -273,3 +273,38 @@ def test_refresh_compact_bit_identical():
         np.testing.assert_array_equal(np.asarray(fc), np.asarray(f1))
         np.testing.assert_array_equal(np.asarray(ac), np.asarray(a1))
         assert (np.asarray(f1) != 0).any()
+
+
+def test_opacity_scale_affine_parts_exact():
+    """apply_opacity_scale(parts) must reproduce a full re-bake exactly:
+    the baked alpha a1*frac + a2*(1-frac)*scale is affine in the scale
+    (ref postClassify, deviceCode.cu:127-135), so the A/B decomposition
+    used by the production scale-edit fast path (apps/icon_rt.py
+    on_tf_update scale_only; bench.py tf_edit) is not an approximation."""
+    from icon_rt_tpu.ops.fast import (apply_opacity_scale,
+                                      pack_alpha_scale_parts)
+
+    ds = synthetic.icosphere(subdivisions=2, num_layers=7)
+    stats = compute_stats(ds)
+    cells = build_cells(ds)
+    tf = make_transfunc(value_range=tuple(stats.data_range))
+    packed = pack_cells(cells, tf)
+    parts = pack_alpha_scale_parts(cells, tf)
+
+    for scale in (0.8, 0.25, 1.0, 1.7):
+        ref = pack_cells(cells, tf._replace(
+            opacity_scale=jnp.float32(scale)))
+        got = apply_opacity_scale(packed, parts, scale)
+        # heights + rgb halves untouched by a scale edit
+        np.testing.assert_array_equal(np.asarray(got.rgb),
+                                      np.asarray(ref.rgb))
+        np.testing.assert_array_equal(np.asarray(got.prof[:, :32]),
+                                      np.asarray(ref.prof[:, :32]))
+        a_got = np.asarray(got.prof[:, 32:])
+        a_ref = np.asarray(ref.prof[:, 32:])
+        np.testing.assert_allclose(a_got, a_ref, rtol=0, atol=1e-6)
+        # chaining scale edits must not drift: derive from an already
+        # scale-edited packed
+        got2 = apply_opacity_scale(got, parts, scale)
+        np.testing.assert_array_equal(np.asarray(got2.prof),
+                                      np.asarray(got.prof))
