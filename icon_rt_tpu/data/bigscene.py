@@ -315,8 +315,8 @@ def build_locator_csr_from_scene(sc: QuantScene, dims=None,
             if cache_key and dims is None else None)
     if path and os.path.exists(path):
         z = np.load(path)
-        loc = Locator(bins=jax.device_put(pack_table(z["bins"],
-                                                     pad_value=-1)),
+        loc = Locator(bins=jax.device_put(pack_table(z["bins"], pad_value=-1,
+                                                     align=False)),
                       lat_lo=jnp.float32(z["lat_lo"]),
                       lat_hi=jnp.float32(z["lat_hi"]),
                       lon_lo=jnp.float32(z["lon_lo"]),

@@ -118,10 +118,14 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
     from ..models.qcells import QuantizedCells
     from ..models.shells import RadialBands
 
+    from ..utils.layout import aligned_width, pack_factor
+
     n = 20 * 4 ** subdivisions
     lm = max(8, -(-num_layers // 8) * 8)
-    f12 = 128 // 12                                  # test12 pack factor
-    flm = max(1, 128 // lm)                          # value/alpha factor
+    sw12 = aligned_width(12)                         # test12 slot width (16)
+    f12 = pack_factor(12)                            # test12 pack factor
+    swlm = aligned_width(lm)                         # value/alpha slot
+    flm = pack_factor(lm)                            # value/alpha factor
     gran = math.lcm(f12, flm)
     n_pad = -(-n // gran) * gran
     # chunk_cells must DIVIDE n_pad: exact cover makes merge() a reshape
@@ -199,16 +203,17 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
             t12 = jnp.concatenate(
                 rows + [jnp.full((chunk_cells, 1), h_bot),
                         jnp.full((chunk_cells, 1), h_top),
-                        jnp.full((chunk_cells, 1), np.float32(num_layers))],
-                axis=1)                                   # (M, 12)
+                        jnp.full((chunk_cells, 1), np.float32(num_layers)),
+                        jnp.zeros((chunk_cells, sw12 - 12))],
+                axis=1)                                   # (M, sw12)
             t12 = jnp.where(real, t12, 0.0)
             v = field_chunk(tri)                          # (M, nl)
             qv = jnp.clip(jnp.rint((v - lo) * scale), 0, 255) \
                 .astype(jnp.uint8)
-            vq = jnp.zeros((chunk_cells, lm), jnp.uint8) \
+            vq = jnp.zeros((chunk_cells, swlm), jnp.uint8) \
                 .at[:, :num_layers].set(qv)
             vq = jnp.where(real, vq, jnp.uint8(0))
-            return (t12.reshape(-1, f12 * 12), vq.reshape(-1, flm * lm),
+            return (t12.reshape(-1, f12 * sw12), vq.reshape(-1, flm * swlm),
                     qv.min(axis=0), qv.max(axis=0))
         t12p, vqp, qmin, qmax = jax.lax.map(body, starts)
         return (t12p, vqp, qmin.min(axis=0), qmax.max(axis=0))
@@ -243,7 +248,7 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
     q = QuantizedCells(
         test12=test12, h_frac=jax.device_put(row[None, :]),
         value_q=value_q,
-        alpha_q=jnp.zeros((n_pad // flm, flm * lm), jnp.uint8),
+        alpha_q=jnp.zeros((n_pad // flm, flm * swlm), jnp.uint8),
         value_lo=jnp.float32(lo), value_hi=jnp.float32(hi),
         alpha_max=jnp.float32(1.0))
 

@@ -296,7 +296,11 @@ def densify_csr(loc: LocatorCSR, k_cap: int) -> Locator:
     import jax
 
     from ..utils.layout import pack_table
-    return Locator(bins=jax.device_put(pack_table(bins, pad_value=-1)),
+    # align=False: an aligned slot would pad k_cap 18 -> 32 (+78% of a
+    # ~3 GB table at R2B9); the bins row gather is one per locate, not
+    # the 4-per-locate candidate-test path the alignment rule targets
+    return Locator(bins=jax.device_put(pack_table(bins, pad_value=-1,
+                                                  align=False)),
                    lat_lo=loc.lat_lo, lat_hi=loc.lat_hi,
                    lon_lo=loc.lon_lo, lon_hi=loc.lon_hi, dims=loc.dims)
 

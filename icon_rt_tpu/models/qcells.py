@@ -47,11 +47,13 @@ F = np.float32
 
 class QuantizedCells(NamedTuple):
     """All 2-D tables are PACK row layouts (utils/layout.pack_table):
-    logical (N, W) rows stored as (N/f, f*W) with f = 128 // W — near-zero
-    HBM padding AND burst-path row gathers (docs/ROUND3.md).  Logical
-    row widths: test12 12 (f = 10; the round-2 16-wide padding wasted
-    1.07 GB of HBM at R2B9 for no gather speed — a packed physical row is
-    one aligned tile row either way), value_q/alpha_q/h_frac Lm."""
+    logical (N, W) rows stored as (N/f, f*W') with W' = aligned_width(W)
+    (the next divisor of 128) and f = 128 // W' — small HBM padding AND
+    burst-path row gathers with an aligned subrow extract.  test12 at its
+    TRUE width (f=10, 120-lane rows) measured 61% slower per gathered row
+    (scripts/prof_bisect.py; docs/ROUND3.md session 7), so 12 -> 16 slot
+    padding buys the hot-path gathers back for ~1 GB at R2B9.  Logical
+    row widths: test12 12 (slot 16), value_q/alpha_q Lm, h_frac Lm."""
     test12: jnp.ndarray    # packed (N, 12) f32: 3 normals + h_bot h_top nl
     h_frac: jnp.ndarray    # UNPACKED (N, Lm) u16 — or (1, Lm) when all
                            # columns share the layer spacing (uniform
@@ -78,7 +80,9 @@ class QuantizedCells(NamedTuple):
     @property
     def num_cells(self) -> int:
         """Cell capacity incl. pack padding (pad rows are all-zero)."""
-        return self.test12.shape[0] * (self.test12.shape[1] // 12)
+        from ..utils.layout import slot_width
+        f, _ = slot_width(self.test12.shape[1], 12)
+        return self.test12.shape[0] * f
 
     @property
     def lm(self) -> int:
