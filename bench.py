@@ -241,13 +241,17 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
         tf2 = tf._replace(opacity_scale=jnp.float32(scale))
         bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
         packed2 = apply_opacity_scale(packed, parts, scale)
+        # the post-edit frame renders exactly like the steady-state loop's
+        # (samples=spp in-lane batching): "edit -> next frame presented"
+        # means the NEXT NORMAL FRAME, not a special single-sample one
+        # (which pays ~spp x more per-ray refresh cost)
         a2, f2 = render_frame_fast(cells, packed2, locator, bands2,
                                    lp._replace(accum_id=jnp.int32(0)),
                                    *alloc_frame(WIDTH, HEIGHT),
                                    width=WIDTH, height=HEIGHT,
                                    pixel_perm=perm, n_active=n_active,
                                    chunk=chunk, steps_per_refresh=spr,
-                                   refresh_compact=compact)
+                                   samples=spp, refresh_compact=compact)
         np.asarray(f2)  # materialize: edit-to-PRESENTED-frame
 
     tf_edit(0.9)  # warm the edit path's compiled artifacts
@@ -371,13 +375,16 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     def tf_edit(tf2):
         q2 = bake_alpha_q(q, tf2)
         bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
+        # same in-lane batching as the steady-state loop (see the f32
+        # tier's note): the edit is followed by a NORMAL frame
         a2, f2 = render_frame_fast_q(q2, loc, k_cap, bands2, tf2,
                                      lp._replace(accum_id=jnp.int32(0)),
                                      *alloc_frame(WIDTH, HEIGHT),
                                      width=WIDTH, height=HEIGHT,
                                      pixel_perm=perm, n_active=n_active,
                                      chunk=chunk, steps_per_refresh=spr,
-                                     refresh_compact=compact, finemap=fm)
+                                     samples=spp, refresh_compact=compact,
+                                     finemap=fm)
         np.asarray(f2)
 
     def gain_edit(gain, scale):   # worst case: every classify level moves
