@@ -92,9 +92,11 @@ def _emit(note: str = ""):
                 else f"{full} / {traced}")
         stroke = (f" (stroke {r['tf_stroke_s']}s)"
                   if "tf_stroke_s" in r else "")
+        fps1 = (f", {r['fps1']} frames/s@1spp" if "fps1" in r else "")
         return (f"{name}[{r['cells']}c,{r['framing']},cov={r['coverage']}]: "
                 f"{rate} Mray/s (spread {r.get('spread', -1)}), "
-                f"{r['fps']} fps, tf-edit {r['tf_edit_s']}s{stroke}")
+                f"{r['fps']} samples/s{fps1}, tf-edit {r['tf_edit_s']}s"
+                f"{stroke}")
     desc = "; ".join(_row(name, r) for name, r in RESULTS.items())
     if note:
         desc = f"{note}; {desc}"
@@ -109,8 +111,10 @@ def _emit(note: str = ""):
 
 
 def _install_watchdog(budget_s: int):
-    """The TPU worker can wedge (see README gotchas); emit the rows that
-    DID complete instead of hanging forever if that happens mid-bench."""
+    """The TPU worker can wedge (see README gotchas) and the DRIVER kills
+    overruns with SIGTERM (round 3's rc-124 artifact carried no JSON at
+    all); on either signal emit the rows that DID complete instead of
+    dying silently."""
     import signal
 
     def on_alarm(signum, frame):
@@ -118,7 +122,13 @@ def _install_watchdog(budget_s: int):
                    "or a row overran; see README 'Hardware gotchas')")
         os._exit(2 if not RESULTS else 0)
 
+    def on_term(signum, frame):
+        _emit(note="BENCH interrupted by SIGTERM (driver budget); rows "
+                   "below completed before the kill")
+        os._exit(2 if not RESULTS else 0)
+
     signal.signal(signal.SIGALRM, on_alarm)
+    signal.signal(signal.SIGTERM, on_term)
     signal.alarm(budget_s)
 
 
@@ -225,9 +235,35 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
                                                  spp, inv)
     iters = iters * spp   # samples rendered per timed window
 
+    # One PRESENTED frame at samples=1 — what BASELINE configs[3]'s
+    # ">=30 fps" denominates (VERDICT r3 weak #5 / next #8): the wall of
+    # one full-frame progressive step that adds ONE sample per pixel, the
+    # unit an interactive session presents (ref pipeline.cu:1038-1077
+    # launches exactly one accumulation step per present).
+    def step1(s, accum, fb):
+        return render_frame_fast(cells, packed, locator, bands,
+                                 lp._replace(accum_id=jnp.int32(s)),
+                                 accum, fb, width=WIDTH, height=HEIGHT,
+                                 pixel_perm=perm, n_active=n_active,
+                                 chunk=chunk, steps_per_refresh=spr,
+                                 samples=1, refresh_compact=compact,
+                                 finemap=fm, service_cap=scap)
+
+    accum, fb = step1(9000, accum, fb)
+    np.asarray(fb)  # warm the samples=1 executable
+    t1s = []
+    for j in range(3):
+        t0 = time.perf_counter()
+        accum, fb = step1(9001 + j, accum, fb)
+        np.asarray(fb)
+        t1s.append(time.perf_counter() - t0)
+    fps1 = 1.0 / float(np.median(t1s))
+
     # TF-edit latency (VERDICT r1 #8; BASELINE configs[3] is fps UNDER live
-    # TF edits): edit -> majorant update -> alpha re-derive -> next frame
-    # presented, measured warm (an interactive session's steady state).
+    # TF edits): edit -> majorant update -> alpha re-derive -> FIRST
+    # PRESENTED progressive sample (a samples=1 frame — what a real
+    # session shows right after an edit; round 3's samples=spp variant
+    # conflated the edit with a full 64-sample frame, VERDICT weak #2).
     # A pure opacity-scale drag rides the production affine fast path
     # (apps/icon_rt.py on_tf_update scale_only): the baked alpha is
     # affine in the scale, so the edit is one FMA over (N, 32) instead
@@ -241,17 +277,14 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
         tf2 = tf._replace(opacity_scale=jnp.float32(scale))
         bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
         packed2 = apply_opacity_scale(packed, parts, scale)
-        # the post-edit frame renders exactly like the steady-state loop's
-        # (samples=spp in-lane batching): "edit -> next frame presented"
-        # means the NEXT NORMAL FRAME, not a special single-sample one
-        # (which pays ~spp x more per-ray refresh cost)
         a2, f2 = render_frame_fast(cells, packed2, locator, bands2,
                                    lp._replace(accum_id=jnp.int32(0)),
                                    *alloc_frame(WIDTH, HEIGHT),
                                    width=WIDTH, height=HEIGHT,
                                    pixel_perm=perm, n_active=n_active,
                                    chunk=chunk, steps_per_refresh=spr,
-                                   samples=spp, refresh_compact=compact)
+                                   samples=1, refresh_compact=compact,
+                                   finemap=fm, service_cap=scap)
         np.asarray(f2)  # materialize: edit-to-PRESENTED-frame
 
     tf_edit(0.9)  # warm the edit path's compiled artifacts
@@ -266,6 +299,7 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
         "mray_full": round(total * iters / dt / 1e6, 2),
         "mray_traced": round(n_traced * iters / dt / 1e6, 2),
         "fps": round(iters / dt, 2),
+        "fps1": round(fps1, 3),
         "spread": round(spread, 3),
         "tf_edit_s": round(dt_edit, 3),
     }
@@ -368,23 +402,44 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                                  spp, inv)
     iters = iters * spp   # samples rendered per timed window
 
+    # One PRESENTED frame at samples=1 (see the f32 tier's note): the
+    # configs[3] interactivity unit.
+    def step1(s, accum, fb):
+        return render_frame_fast_q(q, loc, k_cap, bands, tf,
+                                   lp._replace(accum_id=jnp.int32(s)),
+                                   accum, fb, width=WIDTH, height=HEIGHT,
+                                   pixel_perm=perm, n_active=n_active,
+                                   chunk=chunk, steps_per_refresh=spr,
+                                   samples=1, refresh_compact=compact,
+                                   finemap=fm, service_cap=scap)
+
+    accum, fb = step1(9000, accum, fb)
+    np.asarray(fb)  # warm the samples=1 executable
+    t1s = []
+    for j in range(3):
+        t0 = time.perf_counter()
+        accum, fb = step1(9001 + j, accum, fb)
+        np.asarray(fb)
+        t1s.append(time.perf_counter() - t0)
+    fps1 = 1.0 / float(np.median(t1s))
+
     # TF edit on the quantized tier: 256-entry table bake + DEVICE u8
-    # select-reduce rewrite over (N, Lm) + band majorants + one frame.
+    # select-reduce rewrite over (N, Lm) + band majorants + the FIRST
+    # PRESENTED samples=1 frame (VERDICT r3 weak #2: round 3's
+    # samples=spp variant measured a full 64-sample frame, not an edit).
     # The LUT values change between edits (not just opacity_scale) so the
     # unchanged-table fast path cannot hide the rewrite cost.
     def tf_edit(tf2):
         q2 = bake_alpha_q(q, tf2)
         bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
-        # same in-lane batching as the steady-state loop (see the f32
-        # tier's note): the edit is followed by a NORMAL frame
         a2, f2 = render_frame_fast_q(q2, loc, k_cap, bands2, tf2,
                                      lp._replace(accum_id=jnp.int32(0)),
                                      *alloc_frame(WIDTH, HEIGHT),
                                      width=WIDTH, height=HEIGHT,
                                      pixel_perm=perm, n_active=n_active,
                                      chunk=chunk, steps_per_refresh=spr,
-                                     samples=spp, refresh_compact=compact,
-                                     finemap=fm)
+                                     samples=1, refresh_compact=compact,
+                                     finemap=fm, service_cap=scap)
         np.asarray(f2)
 
     def gain_edit(gain, scale):   # worst case: every classify level moves
@@ -416,6 +471,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
         "mray_full": round(total * iters / dt / 1e6, 2),
         "mray_traced": round(n_traced * iters / dt / 1e6, 2),
         "fps": round(iters / dt, 2),
+        "fps1": round(fps1, 3),
         "spread": round(spread, 3),
         "tf_edit_s": round(dt_edit, 3),
         "tf_stroke_s": round(dt_stroke, 3),
@@ -424,18 +480,22 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
 
 # (name, icosphere subdiv, layers, timed iters, framing, tier, spp cap)
 # spp caps keep ONE device execution well under the ~60 s axon-worker
-# crash threshold (README gotchas) at each scale
+# crash threshold (README gotchas) at each scale.
+# Rows run in IMPORTANCE order, headline FIRST (VERDICT r3 next #1:
+# round 3 ran smallest-first and the driver's budget expired before the
+# headline row ever started) — later rows are the ones a tight budget
+# sacrifices.
 ALL_ROWS = [
-    ("r2b4_closeup", 5, 16, 2, "closeup", "f32", 64),   # 20,480 cells
-    ("r2b4_viewall", 5, 16, 2, "viewall", "f32", 64),   # ref-default framing
-    ("r2b7_closeup", 7, 16, 2, "closeup", "f32", 32),   # 327,680 cells
-    ("r2b8_closeup", 8, 16, 2, "closeup", "f32", 16),   # 1,310,720 cells
-    ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 16),    # quantized overhead
     # r2b9q spp: S=32 in-lane batching measured 1.96 vs 1.23 Msamples/s at
     # S=4 (docs/ROUND3.md sweep) and keeps one frame execution ~17 s —
     # well under the ~60 s axon-worker crash ceiling (S=64 would be ~34 s,
     # too close for the graded run)
     ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 32),   # 83,886,080 cells
+    ("r2b4_closeup", 5, 16, 2, "closeup", "f32", 64),   # 20,480 cells
+    ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 16),    # quantized overhead
+    ("r2b4_viewall", 5, 16, 2, "viewall", "f32", 64),   # ref-default framing
+    ("r2b7_closeup", 7, 16, 2, "closeup", "f32", 32),   # 327,680 cells
+    ("r2b8_closeup", 8, 16, 2, "closeup", "f32", 16),   # 1,310,720 cells
 ]
 HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b9q_closeup")
 
