@@ -32,6 +32,7 @@ def parse_app_args(argv):
         "mode": 1,  # TRIANGLE_MODE default (ref: hostCode.cu:74)
         "synthetic": None, "raygen": "fast", "accel_mode": "sphere",
         "sampler": "locator", "out": "icon_rt", "bands": 64,
+        "samples": 8, "finemap": True,
     }
     i = 0
     while i < len(argv):
@@ -73,10 +74,18 @@ def parse_app_args(argv):
             # R2B9 tier: u16/u8 cell tables + CSR locator (models/qcells.py)
             cfg["quantized"] = True
         elif a == "--finemap":
-            # two-stage locate shortcut on the quantized tier
-            # (models/finemap.py); exact, so default-on is planned once
-            # its build cost is amortized in the viewer session
             cfg["finemap"] = True
+        elif a == "--no-finemap":
+            # two-stage locate shortcut on the quantized tier
+            # (models/finemap.py) is exact and npz-cached, so it defaults
+            # ON; this opts out (e.g. memory-tight scenes)
+            cfg["finemap"] = False
+        elif a == "--samples":
+            # progressive samples accumulated per launch on the fast
+            # raygens (in-lane batching, ops/fast.py `samples=`): restarts
+            # ride the column cache, so S=8 renders several-fold faster
+            # per sample than 8 separate launches
+            cfg["samples"] = max(1, int(argv[i + 1])); i += 1
         i += 1
     return cfg
 
@@ -246,7 +255,10 @@ def build(argv):
 
     def get_q():
         """Quantized tier (--quantized): cells + dense locator; TF edits
-        re-bake only the u8 alpha channel (models/qcells.bake_alpha_q)."""
+        re-bake only the u8 alpha channel (models/qcells.bake_alpha_q).
+        The finemap (default on, --no-finemap opts out) is npz-cached per
+        dataset so a viewer session pays its build once, not per launch
+        (VERDICT r3 next #5)."""
         from icon_rt_tpu.models.locator import build_locator_csr, densify_csr
         from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
                                                quantize_dataset_values)
@@ -256,9 +268,18 @@ def build(argv):
             csr, k_cap = build_locator_csr(ds_q)
             struct["loc_csr"] = (densify_csr(csr, k_cap), k_cap)
             if cfg.get("finemap"):
-                from icon_rt_tpu.models.finemap import build_finemap
-                struct["fm"] = build_finemap(struct["loc_csr"][0],
-                                             struct["q"].test12, k_cap)
+                from icon_rt_tpu.data.bigscene import build_finemap_cached
+                if cfg["synthetic"] is not None:
+                    key = "app_s%d_l%d" % cfg["synthetic"]
+                else:
+                    st = os.stat(cfg["filepath"])
+                    key = ("app_%s_%d_%d" %
+                           (os.path.basename(cfg["filepath"])
+                            .removesuffix(".ic"), st.st_size,
+                            int(st.st_mtime)))
+                struct["fm"] = build_finemap_cached(
+                    struct["loc_csr"][0], struct["q"].test12, k_cap,
+                    factor=2, cache_key=key)
         if struct.get("q_tf") is not device["tf"]:
             struct["q"] = bake_alpha_q(struct["q"], device["tf"])
             struct["q_tf"] = device["tf"]
@@ -351,6 +372,16 @@ def build(argv):
         # unless an explicit --sampler (e.g. brute) was given on the CLI
         sampler = "wedge" if state["mode"] == 2 else (
             cfg["sampler"] if cfg.get("sampler_explicit") else "locator")
+        # in-lane sample batching on the fast raygens (VERDICT r3 next #5:
+        # the interactive path should render at the measured batched rate,
+        # not samples=1); clamped so batch mode honors --sample-limit
+        # exactly.  Parity raygens stay samples=1 (the oracle contract).
+        spl = 1
+        if raygen == "fast":
+            spl = max(1, min(cfg["samples"],
+                             pl.sample_limit - frame_id
+                             if not pl.interactive else cfg["samples"]))
+        pl.samples_per_launch = spl
         if frame_id == 0:
             frame["accum"], frame["fb"] = alloc_frame(W, H)
             frame["raygen"] = raygen  # mode changes reset accumulation, so
@@ -369,6 +400,9 @@ def build(argv):
                 frame["inv"] = inverse_order(p)
                 frame["perm"] = jnp.asarray(p)
                 frame["n_active"] = bucket_active(n_cov, 4096, W * H)
+            # compacted refresh tiers ride the same default the bench
+            # measures (lanes/4 base capacity)
+            compact = 4096 // 4
             if cfg.get("quantized"):
                 from icon_rt_tpu.ops.fastq import render_frame_fast_q
                 qc, (loc_csr, k_cap) = get_q()
@@ -376,7 +410,8 @@ def build(argv):
                     qc, loc_csr, k_cap, get_bands(), device["tf"], lp,
                     frame["accum"], frame["fb"],
                     width=W, height=H, pixel_perm=frame["perm"],
-                    n_active=frame["n_active"], finemap=struct.get("fm"))
+                    n_active=frame["n_active"], finemap=struct.get("fm"),
+                    samples=spl, refresh_compact=compact)
             elif sampler == "wedge":
                 # mode 2 on the fast raygen: the gather-free wedge tier
                 # (live toggle peer of hostCode.cu:151-168)
@@ -384,13 +419,15 @@ def build(argv):
                     cells, get_packed_wedge(), locator, get_bands_wedge(),
                     lp, frame["accum"], frame["fb"],
                     width=W, height=H, pixel_perm=frame["perm"],
-                    n_active=frame["n_active"], sampler="wedge")
+                    n_active=frame["n_active"], sampler="wedge",
+                    samples=spl, refresh_compact=compact)
             else:
                 frame["accum"], frame["fb"] = render_frame_fast(
                     cells, get_packed(), locator, get_bands(), lp,
                     frame["accum"], frame["fb"],
                     width=W, height=H, pixel_perm=frame["perm"],
-                    n_active=frame["n_active"])
+                    n_active=frame["n_active"],
+                    samples=spl, refresh_compact=compact)
         elif raygen == "accel" and state["accel_active"]:
             accel_mode = state["accel_mode"]
             accel = get_shell() if accel_mode == "sphere" else get_grid()

@@ -104,7 +104,8 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
                            radius: float = float(EARTH_RADIUS),
                            thickness: float = 3.0e4,
                            num_bands: int = 64,
-                           chunk_cells: int = 1 << 20) -> DeviceScene:
+                           chunk_cells: int = 1 << 20,
+                           field_lod: int = 0) -> DeviceScene:
     """Build the quantized scene entirely on the default device.
 
     Two chunked passes over the cell index space (lax.map so each pass is
@@ -112,6 +113,16 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
       pass 1: field min/max + AABB bulge term + lat/lon bounds
       pass 2: test12 / value_q tables in PACK layout + per-layer u8
               min/max for the radial band ranges
+
+    field_lod > 0 builds a MIP TIER (data/lod.py): geometry stays the
+    subdivision-`subdivisions` icosphere, but each cell's field value is
+    the MEAN over its 4**field_lod descendant cells at subdivision
+    (subdivisions + field_lod) — i.e. the level-`field_lod` value-space
+    mip of the fine scene.  Filtering happens in VALUE space and
+    classification at sample time, matching the reference's sampling
+    order (ref: icon_rt/deviceCode.cu:127-135).  Descendant index rule:
+    descendants(p) at the fine level are { p + m * n : m < 4**lod } —
+    see data/lod.py for the digit argument.
     """
     import jax
     import jax.numpy as jnp
@@ -121,6 +132,11 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
     from ..utils.layout import aligned_width, pack_factor
 
     n = 20 * 4 ** subdivisions
+    # a pooled field evaluation costs 4**lod descendant corner walks per
+    # cell; shrink the chunk so per-chunk work (and the unrolled program)
+    # stays at the plain pass's scale
+    if field_lod > 0:
+        chunk_cells = max(1024, chunk_cells >> (2 * field_lod))
     lm = max(8, -(-num_layers // 8) * 8)
     sw12 = aligned_width(12)                         # test12 slot width (16)
     f12 = pack_factor(12)                            # test12 pack factor
@@ -152,13 +168,27 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
                             base_tri)
         return _orient_ccw(tri)
 
-    def field_chunk(tri):
+    def _field_of_tri(tri):
         clat = jnp.arcsin(jnp.clip(tri[..., 2], -1.0, 1.0)).mean(axis=1)
         lon = jnp.arctan2(tri[..., 1], tri[..., 0])
         clon = jnp.arctan2(jnp.sin(lon).mean(axis=1),
                            jnp.cos(lon).mean(axis=1))
         return jnp.stack([_default_field_jnp(clat, clon, layer_rel[j])
                           for j in range(num_layers)], axis=1)  # (M, nl)
+
+    def field_chunk(tri, idx):
+        if field_lod == 0:
+            return _field_of_tri(tri)
+        # mip tier: mean over the cell's 4**lod fine-level descendants
+        # (orientation is irrelevant for centroids, so no _orient_ccw)
+        fine = jnp.minimum(idx, n - 1)
+        acc = None
+        for m in range(4 ** field_lod):
+            tri_f = _cell_corners(fine + m * n, subdivisions + field_lod,
+                                  base_tri)
+            v = _field_of_tri(tri_f)
+            acc = v if acc is None else acc + v
+        return acc * jnp.float32(1.0 / 4 ** field_lod)
 
     starts = jnp.asarray(
         [min(ci * chunk_cells, n_pad - chunk_cells)
@@ -169,7 +199,7 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
         def body(s0):
             idx = s0 + jnp.arange(chunk_cells, dtype=jnp.int32)
             tri = corners_of(idx)
-            v = field_chunk(tri)
+            v = field_chunk(tri, idx)
             ctr = tri.mean(axis=1)
             m = jnp.sqrt(jnp.sum(ctr * ctr, axis=-1))
             lat = jnp.arcsin(jnp.clip(tri[..., 2], -1.0, 1.0))
@@ -207,7 +237,7 @@ def synth_quantized_device(subdivisions: int, num_layers: int,
                         jnp.zeros((chunk_cells, sw12 - 12))],
                 axis=1)                                   # (M, sw12)
             t12 = jnp.where(real, t12, 0.0)
-            v = field_chunk(tri)                          # (M, nl)
+            v = field_chunk(tri, idx)                     # (M, nl)
             qv = jnp.clip(jnp.rint((v - lo) * scale), 0, 255) \
                 .astype(jnp.uint8)
             vq = jnp.zeros((chunk_cells, swlm), jnp.uint8) \

@@ -88,6 +88,11 @@ class Pipeline:
         self.bgcolor = np.array([0.1, 0.1, 0.1], F)
         self.sample_limit = 1
         self.frame_id = 0
+        #: progressive samples one render_fn call accumulates (the fast
+        #: raygens render several per launch via in-lane batching —
+        #: ops/fast.py `samples=`); the render fn sets it per call so a
+        #: live raygen toggle keeps the count honest
+        self.samples_per_launch = 1
         self.running = False
         self._started = False
         self.avg_t = 0.0
@@ -222,7 +227,7 @@ class Pipeline:
         if reset:
             self.frame_id = 0
         else:
-            self.frame_id += 1
+            self.frame_id += max(1, int(self.samples_per_launch))
         # batch mode renders exactly sample_limit progressive frames with
         # accum ids 0..sample_limit-1 (the reference's double-increment on
         # the first launch makes it render sampleLimit-2 frames and skip

@@ -72,7 +72,10 @@ def test_raygen_toggle_changes_image_and_resets(tmp_path, spy):
     assert (img_fast[..., 3] > 0).any()
     assert spy[-1] == "render_frame_fast"
     assert pl.is_running()
-    assert pl.frame_id == 1          # accumulating
+    # accumulating: the fast raygen renders a BATCH of in-lane samples per
+    # launch (apps/icon_rt.py --samples), so one launch advances frame_id
+    # by the batch size
+    assert pl.frame_id == pl.samples_per_launch >= 1
 
     pl.set_ui_param("Raygen", "ae")
     assert pl.frame_id == 0          # toggle reset accumulation
