@@ -168,6 +168,24 @@ def _build_scene(subdiv: int, num_layers: int):
     return ds, stats, cells, locator, tf, bands, packed
 
 
+def _auto_lod(subdiv: int, framing: str) -> int:
+    """Nearest-mip level for a bench framing (data/lod.py), computed from
+    the ANALYTIC synthetic-scene bounds so the tier is known before any
+    table is built.  The closeup framing is pixel-matched at every scale
+    (cells >= pixel footprint -> 0); viewall at R2B9 selects level 3."""
+    from icon_rt_tpu.data.lod import select_lod
+    r_out = float(synthetic.EARTH_RADIUS) + 3.0e4
+    rb = r_out * 1.02
+
+    class _St:
+        world_bounds_lo = np.array([-rb] * 3, np.float32)
+        world_bounds_hi = np.array([rb] * 3, np.float32)
+        spherical_bounds_lo = np.array([r_out - 3.0e4, 0, 0], np.float32)
+        spherical_bounds_hi = np.array([r_out, 0, 0], np.float32)
+    cam = _camera(_St, framing)
+    return select_lod(cam.position, r_out, float(cam.fovy), HEIGHT, subdiv)
+
+
 def _camera(stats, framing: str) -> Camera:
     cam = Camera()
     cam.set_aspect(WIDTH / HEIGHT)
@@ -323,23 +341,34 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     from icon_rt_tpu.models.qcells import bake_alpha_q
     from icon_rt_tpu.ops.fastq import render_frame_fast_q
 
-    dsc = synth_quantized_device(subdiv, num_layers)
+    # mip-tier selection (data/lod.py; VERDICT r3 next #3b): BENCH_LOD =
+    # auto (default; nearest-mip from the framing's pixel footprint) or an
+    # explicit level.  The closeup headline is pixel-matched -> level 0;
+    # viewall at R2B9 renders its level-3 mip (value-space 4^3:1 pooled
+    # field on subdiv-8 geometry) — the row's framing tag records it.
+    lod_env = os.environ.get("BENCH_LOD", "auto")
+    lod = _auto_lod(subdiv, framing) if lod_env == "auto" else int(lod_env)
+    lod = min(lod, subdiv - 1)
+    eff = subdiv - lod
+
+    dsc = synth_quantized_device(eff, num_layers, field_lod=lod)
     stats = dsc.stats
     tf = make_transfunc(value_range=tuple(stats.data_range))
     q = bake_alpha_q(dsc.cells, tf)
     bands = update_band_majorants(dsc.bands, tf.values, tf.value_range)
     del dsc   # frees the pre-bake zeros alpha_q (1.34 GB at R2B9): keeping
     # it resident was the hidden +1.34 GB in every round-3 r2b9q OOM
-    cache_key = f"s{subdiv}_l{num_layers}"
+    cache_key = f"s{eff}_l{num_layers}"  # locator/finemap are geometry-
+    # only, so a mip tier shares the plain subdiv-(s-lod) artifacts
     # giant scenes halve the locator grid side (the dense table drops
     # 3.0 -> ~1.6 GB at R2B9 — the round-3 fix for the r2b9q row OOMing
     # at the HBM ceiling); the finemap factor doubles to keep the fine
     # grid resolution (and so the primary hit rate) unchanged
     loc_scale = float(os.environ.get(
-        "BENCH_LOC_SCALE", "0.5" if subdiv >= 10 else "1"))
+        "BENCH_LOC_SCALE", "0.5" if eff >= 10 else "1"))
     sc = None
     if not _os.path.exists(locator_cache_path(cache_key, loc_scale)):
-        sc = synth_quantized_cached(subdiv, num_layers)  # binning needs lat/lon
+        sc = synth_quantized_cached(eff, num_layers)  # binning needs lat/lon
     loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key,
                                               dims_scale=loc_scale)
     del sc
@@ -466,7 +495,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
 
     return {
         "cells": n_cells,
-        "framing": framing + "/quantized",
+        "framing": framing + "/quantized" + (f"+lod{lod}" if lod else ""),
         "coverage": round(cov, 3),
         "mray_full": round(total * iters / dt / 1e6, 2),
         "mray_traced": round(n_traced * iters / dt / 1e6, 2),
@@ -492,6 +521,10 @@ ALL_ROWS = [
     # too close for the graded run)
     ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 32),   # 83,886,080 cells
     ("r2b4_closeup", 5, 16, 2, "closeup", "f32", 64),   # 20,480 cells
+    # the reference's DEFAULT framing at the north-star scale: auto-LOD
+    # renders the level-3 value-space mip (data/lod.py) on subdiv-8
+    # geometry — the framing field records the selected level
+    ("r2b9q_viewall", 11, 16, 2, "viewall", "q", 32),
     ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 16),    # quantized overhead
     ("r2b4_viewall", 5, 16, 2, "viewall", "f32", 64),   # ref-default framing
     ("r2b7_closeup", 7, 16, 2, "closeup", "f32", 32),   # 327,680 cells
