@@ -585,10 +585,22 @@ def _raygen_soa(lp, xs, ys, width, height, accum_id=None):
 
 
 def _init_lanes(lp, xs, ys, width, height, edges, majors, oo, nb,
-                prof_w: int = PROF_W, accum_id=None, test_w: int = 16):
+                prof_w: int = PROF_W, accum_id=None, test_w: int = 16,
+                rng_salt: int = 0):
     """Full per-lane initialization: raygen + shell clip + first band.
-    Returns (_State, _Consts, wrote) for a batch of pixels."""
+    Returns (_State, _Consts, wrote) for a batch of pixels.
+
+    rng_salt != 0 re-keys the per-lane TRACKING stream after the pixel
+    jitter draws (scene-sharded rendering: every slab device must trace
+    the SAME jittered ray but track its disjoint segments with an
+    INDEPENDENT stream — shared streams would correlate the per-slab
+    collision draws and bias the min-t composite,
+    parallel/scene_shard.py)."""
     dx, dy, dz, od, rng = _raygen_soa(lp, xs, ys, width, height, accum_id)
+    if not (isinstance(rng_salt, int) and rng_salt == 0):
+        # accepts a traced scalar too (shard_map passes axis_index)
+        mix = jnp.uint32(rng_salt) * jnp.uint32(2654435761)
+        rng, _ = lcg_next(rng ^ mix)
     r_in = edges[0]
     r_out = edges[-1]
 
@@ -1158,7 +1170,7 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
                samples: int, max_outer: int = 16384,
                outer_unroll: int = 1, preserve_cache: bool = True,
                return_stats: bool = False, service_cap: int = 0,
-               flat_locate=None):
+               flat_locate=None, step_one=None, steps_per_phase: int = 0):
     """Generic in-lane sample-batching wavefront loop (shared by the f32
     and quantized tiers).
 
@@ -1267,11 +1279,33 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
         def outer_body_f(carry):
             p, it = carry
             for _ in range(outer_unroll):
-                p = _pack_q(retire(_unpack_q(p, test_w)))
-                p = _compact_service_packed(p, test_w, flat_locate,
-                                            org, oo, P)
-                q = _unpack_q(p, test_w)
-                p = _pack_q(dict(q, s=inner_phase(q["s"], q["c"])))
+                if step_one is not None and steps_per_phase > 0:
+                    # IN-STEP RETIRE (round 4): a finished lane restarts
+                    # its next sample at the NEXT STEP instead of idling
+                    # to the phase boundary — the retire becomes pure
+                    # arithmetic fused into the step kernel (no separate
+                    # retire sub-kernel, no cond, no extra state round
+                    # trip).  Per-sample RNG streams and accumulation
+                    # order are untouched (each sample's stream is
+                    # seeded by its sample index), so outputs are
+                    # bit-identical to the boundary-retire loop; only
+                    # wall time moves.  Shade runs masked every step, so
+                    # this fits tiers whose shade is cheap arithmetic +
+                    # small-table gathers (the quantized tier's packed
+                    # LUT) — the f32 tier's giant rgb-table shade keeps
+                    # the boundary retire.
+                    p = _compact_service_packed(p, test_w, flat_locate,
+                                                org, oo, P)
+                    q = _unpack_q(p, test_w)
+                    for _ in range(steps_per_phase):
+                        q = retire(dict(q, s=step_one(q["s"], q["c"])))
+                    p = _pack_q(q)
+                else:
+                    p = _pack_q(retire(_unpack_q(p, test_w)))
+                    p = _compact_service_packed(p, test_w, flat_locate,
+                                                org, oo, P)
+                    q = _unpack_q(p, test_w)
+                    p = _pack_q(dict(q, s=inner_phase(q["s"], q["c"])))
             return (p, it + outer_unroll)
 
         p, n_it = jax.lax.while_loop(outer_cond_f, outer_body_f,

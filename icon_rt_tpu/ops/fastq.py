@@ -196,10 +196,14 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
                   width: int, height: int, steps_per_refresh: int = 8,
                   max_outer: int = 16384, return_cost: bool = False,
                   outer_unroll: int = 1, refresh_compact: int = 0,
-                  finemap=None):
+                  finemap=None, return_t: bool = False, rng_salt: int = 0):
     """One progressive sample for a batch of pixels on the quantized tier.
     Returns (wrote (L,) bool, color_alpha (L, 4) f32) [+ per-lane cost
-    (outer iterations to completion) when return_cost]."""
+    (outer iterations to completion) when return_cost].
+
+    return_t: also return the accepted collision's ray parameter ((L,)
+    f32, +inf for no collision) — the scene-sharded composite key
+    (parallel/scene_shard.py).  rng_salt: see ops/fast._init_lanes."""
     nb = bands.num_bands
     edges = bands.edges
     majors = bands.max_opacities
@@ -211,7 +215,8 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
     ud = lp.unit_distance
 
     init, consts, wrote = _init_lanes(lp, xs, ys, width, height,
-                                      edges, majors, oo, nb, prof_w=3 * lm)
+                                      edges, majors, oo, nb, prof_w=3 * lm,
+                                      rng_salt=rng_salt)
 
     refresh = _make_refresh(
         lambda s, c: _refresh_q(s, c, loc, q, k_cap, org, oo),
@@ -252,6 +257,10 @@ def render_fast_q(q: QuantizedCells, loc: Locator, k_cap: int,
         (init, jnp.int32(0), jnp.where(init.done != 0, 0, -1)))
     color_alpha = jnp.stack(_shade_q(out, consts, lp, tf, pack_lut(tf),
                                      oo, lm), axis=-1)
+    if return_t:
+        assert not return_cost
+        t_hit = jnp.where(out.alpha > 0.0, out.t, jnp.float32(np.inf))
+        return wrote, color_alpha, t_hit
     if return_cost:
         return wrote, color_alpha, jnp.maximum(fin, 0)
     return wrote, color_alpha
@@ -324,7 +333,13 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
                       samples, max_outer, outer_unroll, preserve_cache,
                       return_stats=return_stats, service_cap=service_cap,
-                      flat_locate=flat_locate)
+                      flat_locate=flat_locate,
+                      # quantized shade is arithmetic + packed-LUT rows,
+                      # so the flat loop retires IN-STEP (ops/fast.py)
+                      step_one=lambda s, c: step_core(
+                          s, c, edges, majors, org, oo, ud, nb,
+                          ml=lm, a_off=lm),
+                      steps_per_phase=steps_per_refresh)
 
 
 @functools.partial(jax.jit,

@@ -12,7 +12,7 @@ import bench
 
 
 ROW_KEYS = {"cells", "framing", "coverage", "mray_full", "mray_traced",
-            "fps", "spread", "tf_edit_s"}
+            "fps", "fps1", "spread", "tf_edit_s"}
 
 
 @pytest.fixture()
@@ -40,6 +40,20 @@ def test_bench_row_quantized(tiny_frame, monkeypatch, tmp_path):
     assert r["framing"].endswith("/quantized")
     assert r["coverage"] > 0.3
     assert r["tf_stroke_s"] > 0
+
+
+def test_bench_row_quantized_lod(tiny_frame, monkeypatch, tmp_path):
+    """BENCH_LOD renders the mip tier (subdiv-1 geometry, pooled subdiv-2
+    field) and tags the row's framing with the level."""
+    from icon_rt_tpu.data import bigscene
+    monkeypatch.setattr(bigscene, "_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("BENCH_FINEMAP", "2")
+    monkeypatch.setenv("BENCH_LOD", "1")
+    r = bench.bench_row_q(subdiv=2, num_layers=2, iters=1,
+                          framing="viewall", chunk=64, spr=4, spp=2)
+    assert r["framing"].endswith("/quantized+lod1")
+    assert r["cells"] == 20 * 4 ** 2    # reports the FINE scene identity
+    assert r["coverage"] > 0
 
 
 def test_run_row_prints_benchrow(tiny_frame, monkeypatch, capsys):
