@@ -811,25 +811,32 @@ def _compact_service(s: _State, c: _Consts, locate_fn, org, oo, P: int
     pz = oz + dz * tt
     r = jnp.sqrt(jnp.maximum(oo + 2.0 * tt * od + tt * tt, 1e-30))
     new_test, prow, cid, hit, served = locate_fn(px, py, pz, r, ok)
-    upd = served & hit
-    drop = jnp.int32(L)         # out-of-bounds scatter index -> dropped
-    f1 = s.c_valid[idx] != 0    # entry-pin policy (see _fill_slots)
-    idx0 = jnp.where(upd & ~f1, idx, drop)
-    idx1 = jnp.where(upd & f1, idx, drop)
-    idx_srv = jnp.where(served, idx, drop)
+    # scatter-free merge (see _compact_service_packed: TPU row scatters
+    # serialize, ~16x the cost of this dense rank-gather + select)
+    rank = jnp.cumsum(pend.astype(jnp.int32)) - 1
+    in_win = pend & (rank < P)
+    rank_c = jnp.clip(rank, 0, P - 1)
+    srv_l = in_win & served[rank_c]
+    upd_l = srv_l & hit[rank_c]
+    f1_l = s.c_valid != 0       # entry-pin policy (see _fill_slots)
+    w0 = upd_l & ~f1_l
+    w1 = upd_l & f1_l
+    test_l = new_test[rank_c]
+    prow_l = prow[rank_c]
+    cid_l = cid[rank_c]
+    i32 = lambda b: b.astype(jnp.int32)
     return s._replace(
-        pending=s.pending.at[idx_srv].set(0),
-        c_test=s.c_test.at[idx0].set(new_test),
-        c_prof=s.c_prof.at[idx0].set(prow),
-        c_cid=s.c_cid.at[idx0].set(cid),
-        c_valid=s.c_valid.at[idx0].set(1),
-        c_test2=s.c_test2.at[idx1].set(new_test),
-        c_prof2=s.c_prof2.at[idx1].set(prow),
-        c_cid2=s.c_cid2.at[idx1].set(cid),
-        c_valid2=s.c_valid2.at[idx1].set(1),
-        c_mru=s.c_mru.at[jnp.where(upd, idx, drop)].set(
-            f1.astype(jnp.int32)),
-        c_hit=s.c_hit.at[idx_srv].set(upd.astype(jnp.int32)),
+        pending=jnp.where(srv_l, 0, s.pending),
+        c_test=jnp.where(w0[:, None], test_l, s.c_test),
+        c_prof=jnp.where(w0[:, None], prow_l, s.c_prof),
+        c_cid=jnp.where(w0, cid_l, s.c_cid),
+        c_valid=jnp.where(w0, 1, s.c_valid),
+        c_test2=jnp.where(w1[:, None], test_l, s.c_test2),
+        c_prof2=jnp.where(w1[:, None], prow_l, s.c_prof2),
+        c_cid2=jnp.where(w1, cid_l, s.c_cid2),
+        c_valid2=jnp.where(w1, 1, s.c_valid2),
+        c_mru=jnp.where(upd_l, i32(f1_l), s.c_mru),
+        c_hit=jnp.where(srv_l, i32(upd_l), s.c_hit),
     )
 
 
@@ -855,14 +862,16 @@ def _two_stage_locate(primary_loc, full_loc, tail_cap: int):
         j = jnp.nonzero(miss, size=tail_cap, fill_value=P - 1)[0]
         ok2 = jnp.arange(tail_cap) < mcnt
         t2, p2, c2, h2 = full_loc(px[j], py[j], pz[j], r[j], ok2)
-        drop = jnp.int32(P)     # out-of-bounds scatter index -> dropped
-        jw = jnp.where(ok2, j, drop)
-        new_test = t1.at[jw].set(t2)
-        prow = p1.at[jw].set(p2)
-        cid = c1.at[jw].set(c2)
-        hit = h1.at[jw].set(h2)
-        served_tail = jnp.zeros((P,), bool).at[jw].set(True)
-        return new_test, prow, cid, hit, ok & (h1 | served_tail)
+        # scatter-free merge (see _compact_service_packed: TPU row
+        # scatters serialize; a rank-gather + select is ~16x cheaper)
+        mrank = jnp.cumsum(miss.astype(jnp.int32)) - 1
+        in_tail = miss & (mrank < tail_cap)
+        mr = jnp.clip(mrank, 0, tail_cap - 1)
+        new_test = jnp.where(in_tail[:, None], t2[mr], t1)
+        prow = jnp.where(in_tail[:, None], p2[mr], p1)
+        cid = jnp.where(in_tail, c2[mr], c1)
+        hit = jnp.where(in_tail, h2[mr], h1)
+        return new_test, prow, cid, hit, ok & (h1 | in_tail)
     return locate
 
 
@@ -1029,7 +1038,6 @@ def _compact_service_packed(p, test_w: int, locate_fn, org, oo, P: int
     idx = jnp.nonzero(pend, size=P, fill_value=L - 1)[0]
     ok = jnp.arange(P) < cnt
     frows = fmat[idx]                                # (P, NF) gather
-    irows = imat[idx]                                # (P, NI) gather
     tt = frows[:, _FC["t"]]
     dx = frows[:, _FC["dx"]]
     dy = frows[:, _FC["dy"]]
@@ -1041,33 +1049,45 @@ def _compact_service_packed(p, test_w: int, locate_fn, org, oo, P: int
     pz = oz + dz * tt
     r = jnp.sqrt(jnp.maximum(oo + 2.0 * tt * od + tt * tt, 1e-30))
     new_test, prow, cid, hit, served = locate_fn(px, py, pz, r, ok)
-    upd = served & hit
-    v0 = irows[:, _IC["c_valid"]] != 0   # entry-pin policy (_fill_slots)
-    w0 = upd & ~v0
-    w1 = upd & v0
-    drop = jnp.int32(L)
     new_row = jnp.concatenate([new_test, prow], axis=1)
-    # served rows' imat update (non-served rows are dropped from the
-    # scatter, so only lanes the service actually touched are written)
+
+    # SCATTER-FREE merge (round 4): writing the served rows back with
+    # row scatters measured ~11 ms for 4096 rows into (8192, 80) on the
+    # chip (TPU scatters serialize), vs ~0.7 ms for this dense
+    # rank-gather + select: every lane computes its compaction rank
+    # (prefix sum of the pending mask), gathers its own result row, and
+    # a lane-wide select keeps or replaces its state.  Value-for-value
+    # identical to the scatter (same rows land in the same lanes; same
+    # overflow semantics: lanes ranked past P stay pending).
+    rank = jnp.cumsum(pend.astype(jnp.int32)) - 1         # (L,)
+    in_win = pend & (rank < P)
+    rank_c = jnp.clip(rank, 0, P - 1)
+    srv_l = in_win & served[rank_c]
+    upd_l = srv_l & hit[rank_c]
+    v0_l = imat[:, _IC["c_valid"]] != 0  # entry-pin policy (_fill_slots)
+    w0_l = upd_l & ~v0_l
+    w1_l = upd_l & v0_l
+    new_row_l = new_row[rank_c]                            # (L, W) gather
+    cid_l = cid[rank_c]
     i32 = lambda b: b.astype(jnp.int32)
-    col = lambda k: irows[:, _IC[k]]
+    lcol = lambda k: imat[:, _IC[k]]
     upd_cols = {
-        "pending": jnp.zeros_like(col("pending")),
-        "c_cid": jnp.where(w0, cid, col("c_cid")),
-        "c_valid": i32(v0 | w0),
-        "c_cid2": jnp.where(w1, cid, col("c_cid2")),
-        "c_valid2": i32((col("c_valid2") != 0) | w1),
-        "c_mru": jnp.where(upd, i32(v0), col("c_mru")),
-        "c_hit": i32(upd),
+        "pending": jnp.where(srv_l, 0, lcol("pending")),
+        "c_cid": jnp.where(w0_l, cid_l, lcol("c_cid")),
+        "c_valid": jnp.where(w0_l, 1, lcol("c_valid")),
+        "c_cid2": jnp.where(w1_l, cid_l, lcol("c_cid2")),
+        "c_valid2": jnp.where(w1_l, 1, lcol("c_valid2")),
+        "c_mru": jnp.where(upd_l, i32(v0_l), lcol("c_mru")),
+        "c_hit": jnp.where(srv_l, i32(upd_l), lcol("c_hit")),
     }
-    iout = jnp.stack([upd_cols.get(k, col(k))
+    iout = jnp.stack([upd_cols.get(k, lcol(k))
                       for k, _ in sorted(_IC.items(), key=lambda kv: kv[1])],
                      axis=1)
     return dict(
         fmat=fmat,
-        imat=imat.at[jnp.where(served, idx, drop)].set(iout),
-        row0=p["row0"].at[jnp.where(w0, idx, drop)].set(new_row),
-        row1=p["row1"].at[jnp.where(w1, idx, drop)].set(new_row),
+        imat=iout,
+        row0=jnp.where(w0_l[:, None], new_row_l, p["row0"]),
+        row1=jnp.where(w1_l[:, None], new_row_l, p["row1"]),
         st_refr=p["st_refr"] + (cnt > 0).astype(jnp.int32),
         st_pend=p["st_pend"] + jnp.minimum(cnt, P),
     )
@@ -1170,7 +1190,7 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
                samples: int, max_outer: int = 16384,
                outer_unroll: int = 1, preserve_cache: bool = True,
                return_stats: bool = False, service_cap: int = 0,
-               flat_locate=None, step_one=None, steps_per_phase: int = 0):
+               flat_locate=None):
     """Generic in-lane sample-batching wavefront loop (shared by the f32
     and quantized tiers).
 
@@ -1276,36 +1296,20 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
             return (jnp.any(p["imat"][:, _IC["samp"]] < S)
                     & (it < max_outer))
 
+        # In-step retire (retire fused into every step so finished lanes
+        # restart mid-phase) was built and MEASURED HERE in round 4 and
+        # killed per the evidence rule: flat r2b9q probe 151.8 -> 176.3
+        # ms/call at spr=8 (spr 12/16 worse still: 288/236) — the
+        # per-step masked shade + re-init arithmetic costs more than the
+        # boundary retire it replaces (docs/ROUND4.md).
         def outer_body_f(carry):
             p, it = carry
             for _ in range(outer_unroll):
-                if step_one is not None and steps_per_phase > 0:
-                    # IN-STEP RETIRE (round 4): a finished lane restarts
-                    # its next sample at the NEXT STEP instead of idling
-                    # to the phase boundary — the retire becomes pure
-                    # arithmetic fused into the step kernel (no separate
-                    # retire sub-kernel, no cond, no extra state round
-                    # trip).  Per-sample RNG streams and accumulation
-                    # order are untouched (each sample's stream is
-                    # seeded by its sample index), so outputs are
-                    # bit-identical to the boundary-retire loop; only
-                    # wall time moves.  Shade runs masked every step, so
-                    # this fits tiers whose shade is cheap arithmetic +
-                    # small-table gathers (the quantized tier's packed
-                    # LUT) — the f32 tier's giant rgb-table shade keeps
-                    # the boundary retire.
-                    p = _compact_service_packed(p, test_w, flat_locate,
-                                                org, oo, P)
-                    q = _unpack_q(p, test_w)
-                    for _ in range(steps_per_phase):
-                        q = retire(dict(q, s=step_one(q["s"], q["c"])))
-                    p = _pack_q(q)
-                else:
-                    p = _pack_q(retire(_unpack_q(p, test_w)))
-                    p = _compact_service_packed(p, test_w, flat_locate,
-                                                org, oo, P)
-                    q = _unpack_q(p, test_w)
-                    p = _pack_q(dict(q, s=inner_phase(q["s"], q["c"])))
+                p = _pack_q(retire(_unpack_q(p, test_w)))
+                p = _compact_service_packed(p, test_w, flat_locate,
+                                            org, oo, P)
+                q = _unpack_q(p, test_w)
+                p = _pack_q(dict(q, s=inner_phase(q["s"], q["c"])))
             return (p, it + outer_unroll)
 
         p, n_it = jax.lax.while_loop(outer_cond_f, outer_body_f,

@@ -333,13 +333,7 @@ def render_fast_q_batch(q: QuantizedCells, loc: Locator, k_cap: int,
     return batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
                       samples, max_outer, outer_unroll, preserve_cache,
                       return_stats=return_stats, service_cap=service_cap,
-                      flat_locate=flat_locate,
-                      # quantized shade is arithmetic + packed-LUT rows,
-                      # so the flat loop retires IN-STEP (ops/fast.py)
-                      step_one=lambda s, c: step_core(
-                          s, c, edges, majors, org, oo, ud, nb,
-                          ml=lm, a_off=lm),
-                      steps_per_phase=steps_per_refresh)
+                      flat_locate=flat_locate)
 
 
 @functools.partial(jax.jit,

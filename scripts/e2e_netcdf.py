@@ -187,6 +187,10 @@ def main():
             q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(s)),
             accum, fb, width=W, height=H, pixel_perm=perm_d,
             n_active=n_active, chunk=8192, samples=spp)
+        np.asarray(fb)   # materialize per batch: keeps every queued
+        # device execution short and VALIDATES it (the axon worker's
+        # faults are silent to block_until_ready — README gotcha; the
+        # round-3 attempt died at one big final materialization)
     img = np.asarray(fb)[inv]
     dt = time.time() - t0
     print(f"[6] render {args.samples} samples @ {W}x{H}: {dt:.1f}s "
