@@ -360,12 +360,12 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     # it resident was the hidden +1.34 GB in every round-3 r2b9q OOM
     cache_key = f"s{eff}_l{num_layers}"  # locator/finemap are geometry-
     # only, so a mip tier shares the plain subdiv-(s-lod) artifacts
-    # giant scenes halve the locator grid side (the dense table drops
-    # 3.0 -> ~1.6 GB at R2B9 — the round-3 fix for the r2b9q row OOMing
-    # at the HBM ceiling); the finemap factor doubles to keep the fine
-    # grid resolution (and so the primary hit rate) unchanged
-    loc_scale = float(os.environ.get(
-        "BENCH_LOC_SCALE", "0.5" if eff >= 10 else "1"))
+    # FULL locator grid by default (round 4): the u8 finemap's memory win
+    # (2.7 -> 0.67 GB) pays for the full-grid dense table (3.0 GB, k_cap
+    # 18) — R2B9 resident ~9.4 GB, and k_cap 18 halves the full-locate
+    # tail vs the round-3 half-grid's 38: measured 130.9 -> 116.2
+    # ms/call on the r2b9q probe (docs/ROUND4.md)
+    loc_scale = float(os.environ.get("BENCH_LOC_SCALE", "1"))
     sc = None
     if not _os.path.exists(locator_cache_path(cache_key, loc_scale)):
         sc = synth_quantized_cached(eff, num_layers)  # binning needs lat/lon
@@ -515,16 +515,15 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
 # headline row ever started) — later rows are the ones a tight budget
 # sacrifices.
 ALL_ROWS = [
-    # r2b9q spp: S=32 in-lane batching measured 1.96 vs 1.23 Msamples/s at
-    # S=4 (docs/ROUND3.md sweep) and keeps one frame execution ~17 s —
-    # well under the ~60 s axon-worker crash ceiling (S=64 would be ~34 s,
-    # too close for the graded run)
-    ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 32),   # 83,886,080 cells
+    # r2b9q spp: S=64 measured 2.62 Msamples/s vs 2.26 at S=32 (round-4
+    # sweep) and one frame execution is ~28 s — under the ~60 s
+    # axon-worker crash ceiling with margin at the round-4 rates
+    ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 64),   # 83,886,080 cells
     ("r2b4_closeup", 5, 16, 2, "closeup", "f32", 64),   # 20,480 cells
     # the reference's DEFAULT framing at the north-star scale: auto-LOD
     # renders the level-3 value-space mip (data/lod.py) on subdiv-8
     # geometry — the framing field records the selected level
-    ("r2b9q_viewall", 11, 16, 2, "viewall", "q", 32),
+    ("r2b9q_viewall", 11, 16, 2, "viewall", "q", 64),
     ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 16),    # quantized overhead
     ("r2b4_viewall", 5, 16, 2, "viewall", "f32", 64),   # ref-default framing
     ("r2b7_closeup", 7, 16, 2, "closeup", "f32", 32),   # 327,680 cells
@@ -547,7 +546,7 @@ def _run_row(name: str) -> None:
     spec = {r[0]: r for r in ALL_ROWS}[name]
     _, subdiv, layers, iters, framing, tier, spp_cap = spec
     chunk = int(os.environ.get("BENCH_CHUNK", "8192"))
-    spr = int(os.environ.get("BENCH_SPR", "8"))
+    spr = int(os.environ.get("BENCH_SPR", "10"))
     spp = int(os.environ.get("BENCH_SAMPLES", "64"))
     fn = bench_row_q if tier == "q" else bench_row
     row = fn(subdiv, layers, iters, framing, chunk, spr, min(spp, spp_cap))

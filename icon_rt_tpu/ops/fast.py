@@ -39,6 +39,7 @@ streams differ by design.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -1282,7 +1283,8 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
         )
 
     if service_cap > 0 and flat_locate is not None:
-        # FLAT loop: packed carry, cond-free body
+        # FLAT loop: cond-free body — one unconditional retire + compact
+        # service + steps per outer iteration.
         L = fb0.shape[0]
         test_w = s0.c_test.shape[1]
         P = min(max(service_cap, 128), L)
@@ -1291,17 +1293,22 @@ def batch_loop(init, refresh, shade, inner_phase, lp, accum0, fb0,
         org = (ox, oy, oz)
         oo = ox * ox + oy * oy + oz * oz
 
-        def outer_cond_f(carry):
-            p, it = carry
-            return (jnp.any(p["imat"][:, _IC["samp"]] < S)
-                    & (it < max_outer))
-
         # In-step retire (retire fused into every step so finished lanes
         # restart mid-phase) was built and MEASURED HERE in round 4 and
         # killed per the evidence rule: flat r2b9q probe 151.8 -> 176.3
         # ms/call at spr=8 (spr 12/16 worse still: 288/236) — the
         # per-step masked shade + re-init arithmetic costs more than the
         # boundary retire it replaces (docs/ROUND4.md).
+        # An UNPACKED flat carry (raw _State leaves, no _pack_q) was also
+        # measured in round 4 on the theory that without conds or
+        # scatters the packing is pure overhead: 162.9 ms vs 132.3
+        # packed — the while boundary still round-trips per-leaf state,
+        # so the 4-wide packed carry stays (docs/ROUND4.md).
+        def outer_cond_f(carry):
+            p, it = carry
+            return (jnp.any(p["imat"][:, _IC["samp"]] < S)
+                    & (it < max_outer))
+
         def outer_body_f(carry):
             p, it = carry
             for _ in range(outer_unroll):

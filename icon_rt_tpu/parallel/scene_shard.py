@@ -206,13 +206,16 @@ def render_frame_scene_sharded(mesh: Mesh, scene: ShardedScene, k_cap: int,
             ca = ca.reshape(-1, 4)[:total]
             t = t.reshape(-1)[:total]
 
-        # min-collision-t composite: the whole ray's first collision
-        t_all = jax.lax.all_gather(t, axis)          # (D, L)
-        ca_all = jax.lax.all_gather(ca, axis)        # (D, L, 4)
+        # min-collision-t composite: the whole ray's first collision.
+        # ONE packed all_gather (t | rgba) per frame — fewer collectives
+        # also mean fewer CPU-emulation rendezvous points in tests.
+        pay = jnp.concatenate([t[:, None], ca], axis=1)      # (L, 5)
+        pay_all = jax.lax.all_gather(pay, axis)              # (D, L, 5)
+        t_all = pay_all[..., 0]
         win = jnp.argmin(t_all, axis=0)
         got = jnp.isfinite(jnp.min(t_all, axis=0))
         ca_win = jnp.take_along_axis(
-            ca_all, win[None, :, None], axis=0)[0]
+            pay_all, win[None, :, None], axis=0)[0, :, 1:]
         ca_out = jnp.where(got[:, None], ca_win, jnp.zeros_like(ca_win))
         # `wrote` (ray hit the shell) is slab-independent — same ray
         return _finalize(wrote, ca_out, accum_, fb_, lp_.accum_id)

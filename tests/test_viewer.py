@@ -19,8 +19,12 @@ import viewer  # noqa: E402
 
 @pytest.fixture(scope="module")
 def live():
+    # --samples 2: the fast raygen batches samples per launch (round 4);
+    # a 6-sample limit then spans three PRESENTED frames, which the
+    # progressive-advance test needs (at the default batch of 8 the whole
+    # accumulation would land in one frame)
     pl = icon_rt.build(["--synthetic", "1:3", "--size", "32", "32",
-                        "--sample-limit", "6"])
+                        "--sample-limit", "6", "--samples", "2"])
     st = viewer.ViewerState()
     th = threading.Thread(
         target=viewer.serve, args=(pl,),
@@ -68,17 +72,18 @@ def test_page_and_first_frame(live):
 def test_progressive_accumulation_advances(live):
     st, base = live
     _, h1, _ = _get(base + "/frame.png?since=-1")
-    if int(h1["X-Accum-Id"]) >= 5:
-        # already converged to the fixture's --sample-limit 6 (happens when
-        # the module runs inside a loaded full-suite process): no newer
-        # frame would ever arrive — nudge the view so accumulation restarts
+    if int(h1["X-Accum-Id"]) >= 4:
+        # already at the run's LAST presented frame (sample-limit 6,
+        # batch 2 -> frames at accum 0/2/4; happens when the module runs
+        # inside a loaded full-suite process): no newer frame would ever
+        # arrive — nudge the view so accumulation restarts
         # (X-Frame-Id is monotonic across resets, so since=old is safe)
         for etype in ("down", "move", "up"):
             _post(base + "/event", {"type": "view", "etype": etype,
                                     "x": 16 if etype == "down" else 17,
                                     "y": 16, "button": 0, "alt": False})
         _, h1, _ = _get(base + f"/frame.png?since={h1['X-Frame-Id']}")
-        assert int(h1["X-Accum-Id"]) < 5
+        assert int(h1["X-Accum-Id"]) < 4
     fid = int(h1["X-Frame-Id"])
     _, h2, _ = _get(base + f"/frame.png?since={fid}")
     assert int(h2["X-Frame-Id"]) > fid
@@ -90,10 +95,10 @@ def test_camera_drag_resets_accumulation_and_changes_image(live):
     deadline = time.time() + 120
     while time.time() < deadline:
         _, h, png_before = _get(base + "/frame.png?since=-1")
-        if int(h["X-Accum-Id"]) >= 5:
+        if int(h["X-Accum-Id"]) >= 4:   # last frame: accum 4/5 batch
             break
         time.sleep(0.1)
-    assert int(h["X-Accum-Id"]) >= 5
+    assert int(h["X-Accum-Id"]) >= 4
     fid = int(h["X-Frame-Id"])
     _post(base + "/event", {"type": "view", "etype": "down",
                             "x": 16, "y": 16, "button": 0, "alt": False})
@@ -102,7 +107,7 @@ def test_camera_drag_resets_accumulation_and_changes_image(live):
     _post(base + "/event", {"type": "view", "etype": "up",
                             "x": 24, "y": 18, "button": 0, "alt": False})
     _, h2, png_after = _get(base + f"/frame.png?since={fid}")
-    assert int(h2["X-Accum-Id"]) < 5          # accumulation restarted
+    assert int(h2["X-Accum-Id"]) < 4          # accumulation restarted
     assert png_after != png_before            # view actually moved
 
 
