@@ -546,7 +546,15 @@ def _run_row(name: str) -> None:
     spec = {r[0]: r for r in ALL_ROWS}[name]
     _, subdiv, layers, iters, framing, tier, spp_cap = spec
     chunk = int(os.environ.get("BENCH_CHUNK", "8192"))
-    spr = int(os.environ.get("BENCH_SPR", "10"))
+    # spr 10 only where the FLAT service engages (giant quantized rows;
+    # ops/fast.FLAT_AUTO_MIN_CELLS): the round-4 sweep measured 10 best
+    # there, while the cond-ladder rows regressed ~12-15% at 10 vs 8
+    from icon_rt_tpu.ops.fast import FLAT_AUTO_MIN_CELLS
+    eff_cells = 20 * 4 ** (subdiv - (_auto_lod(subdiv, framing)
+                                     if os.environ.get("BENCH_LOD", "auto")
+                                     == "auto" else int(os.environ["BENCH_LOD"])))
+    flat_row = tier == "q" and eff_cells >= FLAT_AUTO_MIN_CELLS
+    spr = int(os.environ.get("BENCH_SPR", "10" if flat_row else "8"))
     spp = int(os.environ.get("BENCH_SAMPLES", "64"))
     fn = bench_row_q if tier == "q" else bench_row
     row = fn(subdiv, layers, iters, framing, chunk, spr, min(spp, spp_cap))
