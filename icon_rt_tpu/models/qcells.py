@@ -55,7 +55,7 @@ class QuantizedCells(NamedTuple):
     padding buys the hot-path gathers back for ~1 GB at R2B9.  Logical
     row widths: test12 12 (slot 16), value_q/alpha_q Lm, h_frac Lm."""
     test12: jnp.ndarray    # packed (N, 12) f32: 3 normals + h_bot h_top nl
-    h_frac: jnp.ndarray    # UNPACKED (N, Lm) u16 — or (1, Lm) when all
+    h_frac: jnp.ndarray    # UNPACKED (N, Lm) f32 — or (1, Lm) u16 when all
                            # columns share the layer spacing (uniform
                            # grids — saves 2.7 GB at R2B9).  Stays
                            # unpacked so lm is recoverable from its shape
@@ -167,6 +167,15 @@ def quantize_cells(ds: ICDataset, lm: int | None = None,
     from ..utils.layout import pack_table
     if n and bool((hf == hf[0]).all()):
         hf = hf[:1]   # uniform layer spacing: one shared row
+    else:
+        # PER-CELL heights (real terrain) are stored f32, not u16: the
+        # wide (N, lm) u16 gather inside the fused full-frame program
+        # crash-faults the TPU worker at 1080p chunk scale (round-4
+        # bisect, docs/ROUND4.md — reproduced at 20k cells; the (N, 16)
+        # f32 row-gather family is the rounds-1-2 battle-tested path).
+        # Values keep the 0..65535 grid, exactly representable in f32,
+        # so the dequant arithmetic and images are bit-identical.
+        hf = hf.astype(F)
     return QuantizedCells(
         test12=jax.device_put(pack_table(test12)),
         h_frac=jax.device_put(np.ascontiguousarray(hf)),
