@@ -181,7 +181,11 @@ def main():
     accum, fb = alloc_frame(W, H)
 
     t0 = time.time()
-    spp = 8
+    spp = 2   # SHORT device executions: this environment's worker
+    # crashes on long single executions (README gotcha), and the
+    # round-4 bisect showed the 1080p frame program crashing it while
+    # every <=quarter-scale variant of the same call passes
+    # (docs/ROUND4.md) — so present in small sample batches
     for s in range(0, args.samples, spp):
         accum, fb = render_frame_fast_q(
             q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(s)),
