@@ -11,7 +11,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # 8 virtual devices share ONE host core here: a collective's slowest
+    # "device" can miss the default rendezvous deadline under load, and
+    # XLA:CPU then ABORTS the process ("Fatal Python error: Aborted",
+    # observed on the scene-shard all_gather whenever another process
+    # competed for the core).  Ten minutes makes the abort unreachable.
+    flags = (flags
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
