@@ -104,6 +104,40 @@ def test_scene_sharded_render_matches_reference():
     assert rmse < 0.55 / np.sqrt(SPP), rmse
 
 
+def test_scene_sharded_tiles_matches_slabs_only():
+    """The production slabs x tiles mesh (VERDICT r4 next #6): the
+    framebuffer row-sharded over 'tiles' with the argmin-select composite
+    reducing over 'slabs' only must produce the SAME image as the same
+    slab partition on a tiles=1 mesh — tiling is pure scheduling."""
+    ds, stats, tf, lp = _setup()
+    n_slabs = 2
+    devs = np.asarray(jax.devices())
+    mesh_t = Mesh(devs.reshape(n_slabs, 4), ("slabs", "tiles"))
+    mesh_1 = Mesh(devs[:n_slabs].reshape(n_slabs, 1), ("slabs", "tiles"))
+
+    scene, k_cap, ds_q = build_sharded_scene(ds, tf, n_slabs)
+    bands = update_band_majorants(build_radial_bands(ds_q, 16),
+                                  tf.values, tf.value_range)
+
+    outs = []
+    for mesh in (mesh_t, mesh_1):
+        sc = shard_scene(mesh, scene)
+        n_tiles = mesh.shape["tiles"]
+        step = jit_render_frame_scene_sharded(
+            mesh, k_cap, width=W, height=H, chunk=W * H // n_tiles,
+            donate=False)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        accum, fb = alloc_frame(W, H)
+        accum = jax.device_put(accum, NamedSharding(mesh, P("tiles", None)))
+        fb = jax.device_put(fb, NamedSharding(mesh, P("tiles")))
+        for s in range(3):
+            accum, fb = step(sc, bands, tf,
+                             lp._replace(accum_id=jnp.int32(s)), accum, fb)
+        outs.append((np.asarray(accum), np.asarray(fb)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
 def test_scene_sharded_salt_decorrelates():
     """Distinct slabs must draw distinct tracking streams (a shared
     stream would bias the min-t composite): check the salted init
