@@ -701,12 +701,15 @@ def _locate_fine(fm, loc: Locator, k_cap: int, packed: PackedCells,
 
 
 def _test_and_fill_f32(packed: PackedCells, cand, px, py, pz, r, pend,
-                       flat_vert: bool):
+                       flat_vert: bool, return_rows: bool = False):
     """Shared locate tail: containment-test (M, K) candidate ids against
     the full plane equations (offsets included), pick the winner, gather
     its profile row.  K is the locator's k_cap for the full query and 4
     for the fine-map primary — identical arithmetic, so a primary hit is
-    bit-identical to the full query's fill."""
+    bit-identical to the full query's fill.
+
+    return_rows additionally returns (trows, valid) — the gathered
+    candidate test rows + validity, for ops/march.py's exact gap skip."""
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
     trows = packed.test[safe]                        # (M, K, 16|32) gather
@@ -730,6 +733,8 @@ def _test_and_fill_f32(packed: PackedCells, cand, px, py, pz, r, pend,
     cid = jnp.sum(jnp.where(k_oh, safe, 0), axis=1)
     new_test = jnp.sum(jnp.where(k_oh[..., None], trows, 0.0), axis=1)
     prow = packed.prof[jnp.where(pend & hit, cid, 0)]  # (M, 64) gather
+    if return_rows:
+        return new_test, prow, cid, hit, trows, valid
     return new_test, prow, cid, hit
 
 

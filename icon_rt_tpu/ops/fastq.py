@@ -77,14 +77,20 @@ def _locate_q(loc: Locator, q: QuantizedCells, k_cap: int,
     return _test_and_fill(q, cand, px, py, pz, r, pend)
 
 
-def _test_and_fill(q: QuantizedCells, cand, px, py, pz, r, pend):
+def _test_and_fill(q: QuantizedCells, cand, px, py, pz, r, pend,
+                   return_rows: bool = False):
     """Shared locate tail: containment-test the (M, K) candidate ids,
     pick the winner, and build the dequantized (test16, prof) cache rows.
     K is k_cap (16) for the full coarse-locator query and 4 for the
     fine-map primary (models/finemap.py) — same arithmetic, so a primary
     hit is bit-identical to the full query's fill (up to f32 boundary
     ties where a point on a shared radial plane belongs to both
-    columns)."""
+    columns).
+
+    return_rows additionally returns (trows, valid): the gathered
+    (M, K, 12) candidate test rows and their validity mask — the
+    deterministic march (ops/march.py) derives exact gap-skip distances
+    from them without a second candidate gather."""
     from ..utils.layout import packed_gather
     lm = q.lm
     valid = cand >= 0
@@ -122,6 +128,8 @@ def _test_and_fill(q: QuantizedCells, cand, px, py, pz, r, pend):
     vv = q.value_lo + packed_gather(q.value_q, cid2, lm).astype(F32) \
         * ((q.value_hi - q.value_lo) / 255.0)                 # (M, Lm)
     prof = jnp.concatenate([heights, aa, vv], axis=1)         # (M, 3*Lm)
+    if return_rows:
+        return _expand_test16(t12), prof, cid2, hit, trows, valid
     return _expand_test16(t12), prof, cid2, hit
 
 
