@@ -19,6 +19,7 @@ frames, writes the PNG, prints FPS.
 """
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -75,6 +76,11 @@ def parse_app_args(argv):
             cfg["quantized"] = True
         elif a == "--finemap":
             cfg["finemap"] = True
+        elif a == "--preview":
+            # preview tier scale (pipeline.preview_scale): first frame
+            # after any reset at 1/N res, presented upscaled (0 = off;
+            # the interactive viewer defaults to 4)
+            cfg["preview"] = max(0, int(argv[i + 1])); i += 1
         elif a == "--no-finemap":
             # two-stage locate shortcut on the quantized tier
             # (models/finemap.py) is exact and npz-cached, so it defaults
@@ -84,8 +90,13 @@ def parse_app_args(argv):
             # progressive samples accumulated per launch on the fast
             # raygens (in-lane batching, ops/fast.py `samples=`): restarts
             # ride the column cache, so S=8 renders several-fold faster
-            # per sample than 8 separate launches
-            cfg["samples"] = max(1, int(argv[i + 1])); i += 1
+            # per sample than 8 separate launches.  "auto" probes the
+            # first warm frame and sizes the launch to the execution
+            # budget (utils/autosize.py — keeps slow-per-ray scenes off
+            # the ~60 s worker execution ceiling, VERDICT r4 next #7)
+            v = argv[i + 1]
+            cfg["samples"] = "auto" if v == "auto" else max(1, int(v))
+            i += 1
         i += 1
     return cfg
 
@@ -153,6 +164,12 @@ def build(argv):
 
     pl = Pipeline(argv, name=cfg["out"])
     pl.set_frame(512, 512)
+    # preview tier (pipeline.preview_pending contract): first frame after
+    # any reset renders at width//N when the frame divides evenly.
+    # Default OFF in batch mode (batch output must be full-res samples
+    # only; golden tests depend on it) — the interactive viewer turns it
+    # on (apps/viewer.py), and --preview N forces it anywhere.
+    pl.preview_scale = int(cfg.get("preview", 0))
 
     cam = Camera()
     cam.set_aspect(pl.width / pl.height)
@@ -378,10 +395,62 @@ def build(argv):
         # exactly.  Parity raygens stay samples=1 (the oracle contract).
         spl = 1
         if raygen == "fast":
-            spl = max(1, min(cfg["samples"],
+            # "auto": frames 0 (compile) and 1 (probe) run at spl=1; the
+            # probe frame's measured wall sizes every later launch
+            # (utils/autosize.auto_spp)
+            want = (state.get("auto_spl", 1) if cfg["samples"] == "auto"
+                    else cfg["samples"])
+            spl = max(1, min(want,
                              pl.sample_limit - frame_id
-                             if not pl.interactive else cfg["samples"]))
+                             if not pl.interactive else want))
         pl.samples_per_launch = spl
+        auto_probe = (cfg["samples"] == "auto" and raygen == "fast"
+                      and "auto_spl" not in state and frame_id >= 1)
+        t_probe = time.perf_counter() if auto_probe else None
+        if (getattr(pl, "preview_pending", False) and raygen == "fast"
+                and (sampler != "wedge" or cfg.get("quantized"))
+                and pl.preview_scale > 1
+                and W % pl.preview_scale == 0
+                and H % pl.preview_scale == 0):
+            # PREVIEW tier (VERDICT r4 next #5): cheap first frame after
+            # any reset (TF edit / camera move) — 1/scale res, samples=1,
+            # presented upscaled; samples_per_launch=0 keeps accumulation
+            # honest (the full-res sample 0 renders on the NEXT launch).
+            pl.preview_pending = False
+            pl.samples_per_launch = 0
+            sc = pl.preview_scale
+            Wp, Hp = W // sc, H // sc
+            lp_p = make_launch_params(
+                cam.basis(Wp, Hp), stats.world_bounds_lo,
+                stats.world_bounds_hi, ambient_color=(1.0, 1.0, 1.0),
+                ambient_radiance=1.0,
+                unit_distance=state["unit_distance"], accum_id=0)
+            from icon_rt_tpu.ops.order import bucket_active
+            p_p, n_cov_p = pixel_order(lp_p, stats.spherical_bounds_lo[0],
+                                       stats.spherical_bounds_hi[0],
+                                       Wp, Hp)
+            n_act_p = bucket_active(n_cov_p, 4096, Wp * Hp)
+            acc_p, fb_p = alloc_frame(Wp, Hp)
+            if cfg.get("quantized"):
+                from icon_rt_tpu.ops.fastq import render_frame_fast_q
+                qc, (loc_csr, k_cap) = get_q()
+                acc_p, fb_p = render_frame_fast_q(
+                    qc, loc_csr, k_cap, get_bands(), device["tf"], lp_p,
+                    acc_p, fb_p, width=Wp, height=Hp,
+                    pixel_perm=jnp.asarray(p_p), n_active=n_act_p,
+                    finemap=struct.get("fm"), samples=1,
+                    refresh_compact=1024)
+            else:
+                acc_p, fb_p = render_frame_fast(
+                    cells, get_packed(), locator, get_bands(), lp_p,
+                    acc_p, fb_p, width=Wp, height=Hp,
+                    pixel_perm=jnp.asarray(p_p), n_active=n_act_p,
+                    samples=1, refresh_compact=1024)
+            small = np.asarray(fb_p)[inverse_order(p_p)].reshape(Hp, Wp)
+            frame["natural"] = True
+            return np.repeat(np.repeat(small, sc, axis=0),
+                             sc, axis=1).ravel()
+        frame["natural"] = False
         if frame_id == 0:
             frame["accum"], frame["fb"] = alloc_frame(W, H)
             frame["raygen"] = raygen  # mode changes reset accumulation, so
@@ -441,13 +510,24 @@ def build(argv):
                 cells, device["tf"], lp, frame["accum"], frame["fb"],
                 width=W, height=H, sampler=sampler, locator=locator,
                 wedges=get_wedges() if sampler == "wedge" else None)
+        if auto_probe:
+            # materialize (a wedged worker otherwise returns instantly,
+            # README gotcha) and size every later launch from this warm
+            # samples=1 frame's wall
+            np.asarray(frame["fb"])
+            from icon_rt_tpu.utils.autosize import auto_spp
+            state["auto_spl"] = auto_spp(time.perf_counter() - t_probe)
+            print(f"# auto samples/launch: {state['auto_spl']}",
+                  file=sys.stderr, flush=True)
         return frame["fb"]
 
     pl.set_render_fn(render)
 
     def present_fn(fb, w, h):
         # fast path renders in ray-sorted order; unpermute on the host
-        if frame.get("raygen") == "fast" and frame["inv"] is not None:
+        # (preview frames arrive already in natural order, upscaled)
+        if (frame.get("raygen") == "fast" and frame["inv"] is not None
+                and not frame.get("natural")):
             fb = fb[frame["inv"]]
         pl.write_frame(fb)
     pl.present_fn = present_fn

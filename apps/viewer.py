@@ -239,6 +239,10 @@ def serve(pl, port: int = 8890, host: str = "127.0.0.1",
     pl.interactive = True
     if pl.sample_limit <= 1:
         pl.sample_limit = 64     # progressive convergence cap per view
+    if pl.preview_scale == 0:
+        # sub-second perceived edits/moves (VERDICT r4 next #5): first
+        # frame after any reset renders at 1/4 res and presents upscaled
+        pl.preview_scale = 4
 
     manip = CameraManip(pl.camera, pl.width, pl.height)
     params = []

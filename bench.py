@@ -92,6 +92,8 @@ def _emit(note: str = ""):
                 else f"{full} / {traced}")
         stroke = (f" (stroke {r['tf_stroke_s']}s)"
                   if "tf_stroke_s" in r else "")
+        if "tf_preview_s" in r:
+            stroke += f" (preview {r['tf_preview_s']}s)"
         fps1 = (f", {r['fps1']} frames/s@1spp" if "fps1" in r else "")
         return (f"{name}[{r['cells']}c,{r['framing']},cov={r['coverage']}]: "
                 f"{rate} Mray/s (spread {r.get('spread', -1)}), "
@@ -233,6 +235,28 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
         fm = build_finemap(locator, normals_table(cells.planes),
                            int(locator.bins.shape[1]), factor=fm_factor)
 
+    def step1(s, accum, fb):
+        return render_frame_fast(cells, packed, locator, bands,
+                                 lp._replace(accum_id=jnp.int32(s)),
+                                 accum, fb, width=WIDTH, height=HEIGHT,
+                                 pixel_perm=perm, n_active=n_active,
+                                 chunk=chunk, steps_per_refresh=spr,
+                                 samples=1, refresh_compact=compact,
+                                 finemap=fm, service_cap=scap)
+
+    # auto-size guard (utils/autosize.py, VERDICT r4 next #7): probe one
+    # warm samples=1 frame BEFORE compiling the batched step, and cap spp
+    # so a single device execution stays under the worker's silent ~60 s
+    # ceiling even on unexpectedly slow scenes.  The samples=1 executable
+    # is the same one the fps1 probe uses later — no extra compile.
+    from icon_rt_tpu.utils.autosize import auto_spp
+    accum, fb = step1(8998, accum, fb)
+    np.asarray(fb)
+    t0p = time.perf_counter()
+    accum, fb = step1(8999, accum, fb)
+    np.asarray(fb)
+    spp = min(spp, auto_spp(time.perf_counter() - t0p))
+
     def step(s, accum, fb):
         # spp progressive samples per call via in-lane batching — the
         # default cache-preserving batch differs from spp sequential
@@ -257,16 +281,8 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
     # ">=30 fps" denominates (VERDICT r3 weak #5 / next #8): the wall of
     # one full-frame progressive step that adds ONE sample per pixel, the
     # unit an interactive session presents (ref pipeline.cu:1038-1077
-    # launches exactly one accumulation step per present).
-    def step1(s, accum, fb):
-        return render_frame_fast(cells, packed, locator, bands,
-                                 lp._replace(accum_id=jnp.int32(s)),
-                                 accum, fb, width=WIDTH, height=HEIGHT,
-                                 pixel_perm=perm, n_active=n_active,
-                                 chunk=chunk, steps_per_refresh=spr,
-                                 samples=1, refresh_compact=compact,
-                                 finemap=fm, service_cap=scap)
-
+    # launches exactly one accumulation step per present).  step1 is the
+    # auto-size probe's executable — already compiled above.
     accum, fb = step1(9000, accum, fb)
     np.asarray(fb)  # warm the samples=1 executable
     t1s = []
@@ -415,6 +431,25 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     compact = int(os.environ.get("BENCH_COMPACT", "2048"))
     scap = int(os.environ.get("BENCH_SERVICE_CAP", "-1"))  # -1 auto flat
 
+    def step1(s, accum, fb):
+        return render_frame_fast_q(q, loc, k_cap, bands, tf,
+                                   lp._replace(accum_id=jnp.int32(s)),
+                                   accum, fb, width=WIDTH, height=HEIGHT,
+                                   pixel_perm=perm, n_active=n_active,
+                                   chunk=chunk, steps_per_refresh=spr,
+                                   samples=1, refresh_compact=compact,
+                                   finemap=fm, service_cap=scap)
+
+    # auto-size guard (see bench_row): cap spp from a warm samples=1
+    # probe so one execution stays under the worker ceiling
+    from icon_rt_tpu.utils.autosize import auto_spp
+    accum, fb = step1(8998, accum, fb)
+    np.asarray(fb)
+    t0p = time.perf_counter()
+    accum, fb = step1(8999, accum, fb)
+    np.asarray(fb)
+    spp = min(spp, auto_spp(time.perf_counter() - t0p))
+
     def step(s, accum, fb):
         return render_frame_fast_q(q, loc, k_cap, bands, tf,
                                    lp._replace(accum_id=jnp.int32(s)),
@@ -432,16 +467,8 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     iters = iters * spp   # samples rendered per timed window
 
     # One PRESENTED frame at samples=1 (see the f32 tier's note): the
-    # configs[3] interactivity unit.
-    def step1(s, accum, fb):
-        return render_frame_fast_q(q, loc, k_cap, bands, tf,
-                                   lp._replace(accum_id=jnp.int32(s)),
-                                   accum, fb, width=WIDTH, height=HEIGHT,
-                                   pixel_perm=perm, n_active=n_active,
-                                   chunk=chunk, steps_per_refresh=spr,
-                                   samples=1, refresh_compact=compact,
-                                   finemap=fm, service_cap=scap)
-
+    # configs[3] interactivity unit.  step1 is the auto-size probe's
+    # executable — already compiled above.
     accum, fb = step1(9000, accum, fb)
     np.asarray(fb)  # warm the samples=1 executable
     t1s = []
@@ -493,6 +520,37 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     tf_edit(stroke_edit(0.5))
     dt_stroke = time.perf_counter() - t0
 
+    # PREVIEW latency (VERDICT r4 next #5): edit -> first PRESENTED
+    # preview frame — the quarter-res samples=1 frame the interactive
+    # viewer actually shows right after an edit (apps/icon_rt.py preview
+    # branch); the honest full-res tf_edit_s above is unchanged.
+    Wp, Hp = WIDTH // 4, HEIGHT // 4
+    lp_p = make_launch_params(cam.basis(Wp, Hp), stats.world_bounds_lo,
+                              stats.world_bounds_hi,
+                              unit_distance=unit_distance)
+    perm_p, n_active_p = pixel_order(lp_p, stats.spherical_bounds_lo[0],
+                                     stats.spherical_bounds_hi[0], Wp, Hp)
+    perm_p = jnp.asarray(perm_p)
+
+    def tf_edit_preview(tf2):
+        q2 = bake_alpha_q(q, tf2)
+        bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
+        a2, f2 = render_frame_fast_q(q2, loc, k_cap, bands2, tf2,
+                                     lp_p._replace(accum_id=jnp.int32(0)),
+                                     *alloc_frame(Wp, Hp),
+                                     width=Wp, height=Hp,
+                                     pixel_perm=perm_p,
+                                     n_active=n_active_p,
+                                     chunk=chunk, steps_per_refresh=spr,
+                                     samples=1, refresh_compact=compact,
+                                     finemap=fm, service_cap=scap)
+        np.asarray(f2)
+
+    tf_edit_preview(gain_edit(0.97, 0.95))
+    t0 = time.perf_counter()
+    tf_edit_preview(gain_edit(0.93, 0.85))
+    dt_preview = time.perf_counter() - t0
+
     return {
         "cells": n_cells,
         "framing": framing + "/quantized" + (f"+lod{lod}" if lod else ""),
@@ -504,6 +562,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
         "spread": round(spread, 3),
         "tf_edit_s": round(dt_edit, 3),
         "tf_stroke_s": round(dt_stroke, 3),
+        "tf_preview_s": round(dt_preview, 3),
     }
 
 

@@ -93,6 +93,18 @@ class Pipeline:
         #: ops/fast.py `samples=`); the render fn sets it per call so a
         #: live raygen toggle keeps the count honest
         self.samples_per_launch = 1
+        #: preview tier (VERDICT r4 next #5): when > 1, the FIRST frame
+        #: after any accumulation reset (TF edit, camera move, uiParam)
+        #: may be rendered at (width//scale, height//scale) and presented
+        #: upscaled — the render fn checks `preview_pending`, renders the
+        #: cheap frame, clears the flag, and sets samples_per_launch = 0
+        #: so the full-res sample 0 still renders on the next launch.
+        #: The reference needs no preview tier because its full frame is
+        #: already interactive (ref: pipeline.cu:1013-1034 edit -> next
+        #: frame); ours hides a multi-second R2B9 frame behind a
+        #: sub-second first impression.
+        self.preview_scale = 0
+        self.preview_pending = False
         self.running = False
         self._started = False
         self.avg_t = 0.0
@@ -219,6 +231,7 @@ class Pipeline:
     # -- frame loop ----------------------------------------------------------
     def reset_accumulation(self):
         self.frame_id = 0
+        self.preview_pending = self.preview_scale > 1
 
     def is_running(self) -> bool:
         if not self._started:
@@ -226,6 +239,7 @@ class Pipeline:
         reset = self._harvest_tfe()
         if reset:
             self.frame_id = 0
+            self.preview_pending = self.preview_scale > 1
         else:
             self.frame_id += max(1, int(self.samples_per_launch))
         # batch mode renders exactly sample_limit progressive frames with

@@ -1,0 +1,52 @@
+"""Auto-sized device executions (VERDICT r4 next #7).
+
+One utility picks samples-per-launch from a measured per-sample probe and
+a wall-clock budget, replacing per-scene hand-tuned spp literals.  The
+axon TPU worker silently crashes on single executions past ~60 s (README
+gotchas; the round-4 e2e bisect pinned the "kernel fault" on exactly
+this), so every caller must keep ONE device execution well under that
+ceiling — but a small spp wastes the in-lane batching amortization
+(ops/fast.batch_loop), so the right value is scene- and camera-dependent:
+a slow-per-ray scene (e.g. real terrain with a near-opaque TF) must drop
+to spp 1-2 while the synthetic bench scenes safely run 64.
+"""
+from __future__ import annotations
+
+import time
+
+#: candidate samples-per-launch values — powers of two, so a session
+#: compiles at most a handful of executables (each distinct spp is its
+#: own compile)
+SPP_TIERS = (1, 2, 4, 8, 16, 32, 64)
+
+#: default per-execution wall budget: half the ~60 s worker ceiling,
+#: leaving margin for camera/TF edits that make frames slower mid-session
+DEFAULT_BUDGET_S = 25.0
+
+
+def auto_spp(probe_s: float, budget_s: float = DEFAULT_BUDGET_S,
+             cap: int = 64, probe_spp: int = 1) -> int:
+    """Largest power-of-two spp whose estimated single-execution wall
+    stays under budget_s, from a measured probe of a probe_spp-sample
+    execution.  Cost is modeled LINEAR in spp — an overestimate (fixed
+    costs amortize with in-lane batching), so the pick errs short."""
+    per = max(probe_s / max(probe_spp, 1), 1e-9)
+    spp = 1
+    for t in SPP_TIERS:
+        if t <= cap and t * per <= budget_s:
+            spp = t
+    return spp
+
+
+def measure_spp(step_fn, budget_s: float = DEFAULT_BUDGET_S,
+                cap: int = 64, probe_spp: int = 1) -> int:
+    """Probe-and-pick: run step_fn(probe_spp) once to compile/warm, time
+    a second call, and return auto_spp of the measured wall.
+
+    step_fn(spp) MUST materialize its output to the host (np.asarray of
+    the framebuffer) — a wedged worker otherwise returns instantly and
+    silently (README gotcha), which would pick a dangerously large spp."""
+    step_fn(probe_spp)
+    t0 = time.perf_counter()
+    step_fn(probe_spp)
+    return auto_spp(time.perf_counter() - t0, budget_s, cap, probe_spp)

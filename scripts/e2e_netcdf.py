@@ -181,20 +181,39 @@ def main():
     accum, fb = alloc_frame(W, H)
 
     t0 = time.time()
-    spp = 2   # SHORT device executions: this environment's worker
-    # crashes on long single executions (README gotcha), and the
-    # round-4 bisect showed the 1080p frame program crashing it while
-    # every <=quarter-scale variant of the same call passes
-    # (docs/ROUND4.md) — so present in small sample batches
-    for s in range(0, args.samples, spp):
+    # AUTO-SIZED device executions (utils/autosize.py, VERDICT r4 next
+    # #7): the worker crashes silently on single executions past ~60 s
+    # (README gotcha; the round-4 "kernel fault" bisect), and per-ray
+    # cost varies ~25x between scenes/TFs — so probe two samples=1
+    # frames (compile + warm timing) and size every later launch from
+    # the measured wall instead of a hand-tuned per-scene literal.
+    from icon_rt_tpu.utils.autosize import auto_spp
+
+    def run(s, n, accum, fb):
         accum, fb = render_frame_fast_q(
             q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(s)),
             accum, fb, width=W, height=H, pixel_perm=perm_d,
-            n_active=n_active, chunk=8192, samples=spp)
+            n_active=n_active, chunk=8192, samples=n)
         np.asarray(fb)   # materialize per batch: keeps every queued
         # device execution short and VALIDATES it (the axon worker's
         # faults are silent to block_until_ready — README gotcha; the
         # round-3 attempt died at one big final materialization)
+        return accum, fb
+
+    done = 0
+    probe_s = None
+    while done < min(2, args.samples):
+        t1 = time.perf_counter()
+        accum, fb = run(done, 1, accum, fb)
+        probe_s = time.perf_counter() - t1
+        done += 1
+    spp = auto_spp(probe_s, cap=32) if probe_s is not None else 1
+    print(f"[6a] auto samples/launch: {spp} "
+          f"(warm samples=1 frame {probe_s:.1f}s)", flush=True)
+    while done < args.samples:
+        n = spp if args.samples - done >= spp else 1
+        accum, fb = run(done, n, accum, fb)
+        done += n
     img = np.asarray(fb)[inv]
     dt = time.time() - t0
     print(f"[6] render {args.samples} samples @ {W}x{H}: {dt:.1f}s "

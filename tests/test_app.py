@@ -70,3 +70,27 @@ def test_app_xf_roundtrip(tmp_path):
     assert cov.any()
     # fully red, fully opaque TF -> covered pixels are red-ish
     assert img[cov][:, 0].mean() > img[cov][:, 1].mean() + 50
+
+
+def test_app_preview_tier(tmp_path):
+    """Preview contract (VERDICT r4 next #5): with --preview N, the first
+    frame after a reset renders at 1/N res and is presented upscaled in
+    natural order; samples_per_launch drops to 0 for that launch so the
+    full-res sample 0 still renders next."""
+    out = str(tmp_path / "prev")
+    pl = icon_rt.build(["--synthetic", "1:3", "--sample-limit", "2",
+                        "--size", "32", "32", "-o", out, "--preview", "4"])
+    pl.launch()                        # frame 0: full res (no reset yet)
+    assert pl.samples_per_launch >= 1
+    pl.reset_accumulation()            # a camera/TF-style reset
+    assert pl.preview_pending
+    pl.launch()                        # preview frame
+    assert not pl.preview_pending
+    assert pl.samples_per_launch == 0  # accumulation not advanced
+    fb = np.asarray(pl._last_fb)
+    assert fb.shape == (32 * 32,)      # presented full-size (upscaled)
+    # upscaled 4x4 blocks are constant
+    img = fb.reshape(8, 4, 8, 4)
+    assert (img == img[:, :1, :, :1]).all()
+    pl.launch()                        # full-res sample 0 resumes
+    assert pl.samples_per_launch >= 1
