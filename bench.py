@@ -413,7 +413,21 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                   f"retrying factor={fm_factor}", file=sys.stderr, flush=True)
             del e
             gc.collect()   # drop leaked device buffers of the failed build
-    n_cells = 20 * 4 ** subdiv
+    return _measure_row_q(
+        q, loc, k_cap, bands, tf, stats, fm,
+        n_cells=20 * 4 ** subdiv,
+        tag="/quantized" + (f"+lod{lod}" if lod else ""),
+        framing=framing, iters=iters, chunk=chunk, spr=spr, spp=spp)
+
+
+def _measure_row_q(q, loc, k_cap, bands, tf, stats, fm, *, n_cells,
+                   tag, framing, iters, chunk, spr, spp):
+    """Quantized-tier measurement core, shared by the synthetic rows
+    (bench_row_q) and the reference-format `.ic` rows (bench_row_ic):
+    throughput windows, fps1, TF-edit/stroke latency, preview latency."""
+    from icon_rt_tpu.models.qcells import bake_alpha_q
+    from icon_rt_tpu.ops.fastq import render_frame_fast_q
+
     cam = _camera(stats, framing)
     unit_distance = 10.0 ** (np.floor(
         np.log10(stats.spherical_bounds_lo[0])) - 3)
@@ -553,7 +567,7 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
 
     return {
         "cells": n_cells,
-        "framing": framing + "/quantized" + (f"+lod{lod}" if lod else ""),
+        "framing": framing + tag,
         "coverage": round(cov, 3),
         "mray_full": round(total * iters / dt / 1e6, 2),
         "mray_traced": round(n_traced * iters / dt / 1e6, 2),
@@ -564,6 +578,107 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
         "tf_stroke_s": round(dt_stroke, 3),
         "tf_preview_s": round(dt_preview, 3),
     }
+
+
+IC_CACHE_DIR = "/root/.cache/icon_rt_tpu"
+
+
+def _ic_file_cached(subdiv: int, levels: int) -> str:
+    """NetCDF -> tools/convert_icon -> `.ic`, cached on disk: the bench's
+    reference-format rows must run the reference's ACTUAL data product
+    (VERDICT r4 next #3), re-reading the cached .ic through read_ic every
+    run (only the NetCDF synthesis + conversion are cached)."""
+    path = os.path.join(IC_CACHE_DIR, f"ic_s{subdiv}_l{levels}.ic")
+    if os.path.exists(path):
+        return path
+    import tempfile
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from e2e_netcdf import make_netcdf_inputs
+
+    from icon_rt_tpu.tools import convert_icon as ci
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with tempfile.TemporaryDirectory() as wd:
+        hgrid, hsurf, hhl, data = make_netcdf_inputs(wd, subdiv, levels)
+        out = os.path.join(wd, "scene")
+        rc = ci.main(["-hgrid", hgrid, "-hsurf", hsurf, "-hhl", *hhl,
+                      "-data", *data, "-o", out])
+        assert rc == 0
+        os.replace(out + ".ic", path)
+    return path
+
+
+def bench_row_ic(subdiv: int, num_layers: int, iters: int, framing: str,
+                 chunk: int, spr: int, spp: int) -> dict:
+    """Reference-format row (VERDICT r4 next #3): a `.ic` file from
+    tools/convert_icon (synthetic-DWD NetCDF terrain scene, the e2e
+    pipeline's product), rendered on the quantized tier WITH finemap and
+    compacted refresh — the engine's own wins, which the round-4 e2e
+    path skipped (docs/ROUND4.md: that cost ~25x per ray).
+
+    TF sanity for non-synthetic distributions: value_range is the
+    2nd-98th percentile of the field (standard DVR windowing) instead of
+    the raw min/max — real fields (e.g. pressure) concentrate mass away
+    from their extremes, and the raw-range default made the terrain
+    scene near-opaque.
+
+    The viewall framing engages the GEOMETRIC mip chain
+    (data/lod.build_lod_dataset — VERDICT r4 next #4): file-loaded
+    datasets have no procedural index structure, so the tier is derived
+    from geometry and runs through the identical builders."""
+    import gc
+
+    from icon_rt_tpu.data.icfile import read_ic
+    from icon_rt_tpu.data.lod import (build_lod_dataset, equivalent_subdiv,
+                                      select_lod)
+    from icon_rt_tpu.models.cells import compute_stats
+    from icon_rt_tpu.models.finemap import build_finemap
+    from icon_rt_tpu.models.locator import build_locator_csr, densify_csr
+    from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
+                                           quantize_dataset_values)
+
+    ds = read_ic(_ic_file_cached(subdiv, num_layers))
+    n_cells = ds.num_cells
+    stats_f = compute_stats(ds)
+    cam = _camera(stats_f, framing)
+    lod = 0
+    if os.environ.get("BENCH_LOD", "auto") == "auto":
+        lod = select_lod(cam.position, float(stats_f.spherical_bounds_hi[0]),
+                         float(cam.fovy), HEIGHT, equivalent_subdiv(n_cells))
+    else:
+        lod = int(os.environ["BENCH_LOD"])
+    if lod > 0:
+        ds, _ = build_lod_dataset(ds, lod)
+        gc.collect()
+
+    ds_q, lo, hi = quantize_dataset_values(ds)
+    stats = compute_stats(ds_q)
+    mask = np.arange(ds_q.value.shape[1])[None, :] \
+        < ds_q.num_layers[:, None]
+    vals = ds_q.value[mask]
+    vr = (float(np.percentile(vals, 2)), float(np.percentile(vals, 98)))
+    if not vr[1] > vr[0]:
+        vr = tuple(stats.data_range)
+    tf = make_transfunc(value_range=vr)
+    q = bake_alpha_q(quantize_cells(ds_q, value_range=(lo, hi)), tf)
+    csr, k_cap = build_locator_csr(ds_q)
+    loc = densify_csr(csr, k_cap)
+    fm = None
+    try:
+        fm = build_finemap(loc, q.test12, k_cap,
+                           factor=int(os.environ.get("BENCH_FINEMAP_IC",
+                                                     "2")))
+    except Exception as e:
+        print(f"# ic finemap build failed ({type(e).__name__}); "
+              f"running without", file=sys.stderr, flush=True)
+    bands = update_band_majorants(build_radial_bands(ds_q, 64),
+                                  tf.values, tf.value_range)
+    return _measure_row_q(
+        q, loc, k_cap, bands, tf, stats, fm, n_cells=n_cells,
+        tag="/ic-quantized" + (f"+lod{lod}" if lod else ""),
+        framing=framing, iters=iters, chunk=chunk, spr=spr, spp=spp)
 
 
 # (name, icosphere subdiv, layers, timed iters, framing, tier, spp cap)
@@ -579,11 +694,17 @@ ALL_ROWS = [
     # axon-worker crash ceiling with margin at the round-4 rates
     ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 64),   # 83,886,080 cells
     ("r2b4_closeup", 5, 16, 2, "closeup", "f32", 64),   # 20,480 cells
+    # reference-format data (VERDICT r4 next #3): .ic terrain scene from
+    # tools/convert_icon, finemap + compact on
+    ("ic_r2b7_closeup", 7, 16, 2, "closeup", "ic", 32),
     # the reference's DEFAULT framing at the north-star scale: auto-LOD
     # renders the level-3 value-space mip (data/lod.py) on subdiv-8
     # geometry — the framing field records the selected level
     ("r2b9q_viewall", 11, 16, 2, "viewall", "q", 64),
     ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 16),    # quantized overhead
+    # file-loaded LOD (VERDICT r4 next #4): the geometric mip chain on
+    # the .ic scene at the reference-default framing
+    ("ic_r2b7_viewall", 7, 16, 2, "viewall", "ic", 64),
     ("r2b4_viewall", 5, 16, 2, "viewall", "f32", 64),   # ref-default framing
     ("r2b7_closeup", 7, 16, 2, "closeup", "f32", 32),   # 327,680 cells
     ("r2b8_closeup", 8, 16, 2, "closeup", "f32", 16),   # 1,310,720 cells
@@ -615,7 +736,8 @@ def _run_row(name: str) -> None:
     flat_row = tier == "q" and eff_cells >= FLAT_AUTO_MIN_CELLS
     spr = int(os.environ.get("BENCH_SPR", "10" if flat_row else "8"))
     spp = int(os.environ.get("BENCH_SAMPLES", "64"))
-    fn = bench_row_q if tier == "q" else bench_row
+    fn = {"q": bench_row_q, "ic": bench_row_ic,
+          "f32": bench_row}[tier]
     row = fn(subdiv, layers, iters, framing, chunk, spr, min(spp, spp_cap))
     print("BENCHROW " + json.dumps(row), flush=True)
 

@@ -92,3 +92,19 @@ def test_emit_formats_all_rows(capsys):
     # low-coverage row leads with traced; stroke metric present
     assert "4.4 traced / 94.0 full" in line["metric"]
     assert "stroke 0.1s" in line["metric"]
+
+
+def test_bench_row_ic(tiny_frame, monkeypatch, tmp_path):
+    """Reference-format row (VERDICT r4 next #3): NetCDF -> convert_icon
+    -> .ic -> quantized render with finemap, at toy scale."""
+    monkeypatch.setattr(bench, "IC_CACHE_DIR", str(tmp_path))
+    r = bench.bench_row_ic(subdiv=2, num_layers=4, iters=1,
+                           framing="closeup", chunk=64, spr=4, spp=2)
+    assert (ROW_KEYS | {"tf_preview_s"}) <= set(r)
+    assert r["framing"].startswith("closeup/ic-quantized")
+    assert r["coverage"] > 0.3
+    # the .ic product is cached and re-read on the second call
+    r2 = bench.bench_row_ic(subdiv=2, num_layers=4, iters=1,
+                            framing="viewall", chunk=64, spr=4, spp=2)
+    assert r2["framing"].startswith("viewall/ic-quantized")
+    assert r2["coverage"] > 0
