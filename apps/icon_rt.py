@@ -76,6 +76,11 @@ def parse_app_args(argv):
             cfg["quantized"] = True
         elif a == "--finemap":
             cfg["finemap"] = True
+        elif a == "--march":
+            # deterministic transmittance march on the fast tiers: one
+            # CONVERGED pass per launch instead of Woodcock sampling
+            # (ops/march.py; statistically the same image, zero variance)
+            cfg["march"] = True
         elif a == "--preview":
             # preview tier scale (pipeline.preview_scale): first frame
             # after any reset at 1/N res, presented upscaled (0 = off;
@@ -472,7 +477,28 @@ def build(argv):
             # compacted refresh tiers ride the same default the bench
             # measures (lanes/4 base capacity)
             compact = 4096 // 4
-            if cfg.get("quantized"):
+            if cfg.get("march") and sampler != "wedge":
+                # deterministic transmittance march (ops/march.py): each
+                # launch adds ONE jittered CONVERGED pass — measured 4.8x
+                # faster to a converged image than Woodcock-64 at r2b4
+                # (docs/ROUND5.md); a handful of passes antialias.
+                pl.samples_per_launch = 1
+                if cfg.get("quantized"):
+                    from icon_rt_tpu.ops.march import render_frame_march_q
+                    qc, (loc_csr, k_cap) = get_q()
+                    frame["accum"], frame["fb"] = render_frame_march_q(
+                        qc, loc_csr, k_cap, get_bands(), device["tf"], lp,
+                        frame["accum"], frame["fb"], width=W, height=H,
+                        pixel_perm=frame["perm"],
+                        n_active=frame["n_active"])
+                else:
+                    from icon_rt_tpu.ops.march import render_frame_march
+                    frame["accum"], frame["fb"] = render_frame_march(
+                        cells, get_packed(), locator, get_bands(), lp,
+                        frame["accum"], frame["fb"], width=W, height=H,
+                        pixel_perm=frame["perm"],
+                        n_active=frame["n_active"])
+            elif cfg.get("quantized"):
                 from icon_rt_tpu.ops.fastq import render_frame_fast_q
                 qc, (loc_csr, k_cap) = get_q()
                 frame["accum"], frame["fb"] = render_frame_fast_q(

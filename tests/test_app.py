@@ -94,3 +94,18 @@ def test_app_preview_tier(tmp_path):
     assert (img == img[:, :1, :, :1]).all()
     pl.launch()                        # full-res sample 0 resumes
     assert pl.samples_per_launch >= 1
+
+
+def test_app_march_raygen(tmp_path):
+    """--march: the deterministic integrator drives the batch render and
+    converges in very few passes (the PNG must match the Woodcock
+    output's coverage)."""
+    out = str(tmp_path / "march")
+    _run(["--synthetic", "1:3", "--sample-limit", "2", "--size", "32", "32",
+          "-o", out, "--march"])
+    img = read_png(out + ".png")
+    assert (img[..., 3] > 0).any()
+    out_q = str(tmp_path / "marchq")
+    _run(["--synthetic", "1:3", "--sample-limit", "2", "--size", "32", "32",
+          "-o", out_q, "--march", "--quantized"])
+    assert os.path.exists(out_q + ".png")
