@@ -345,8 +345,8 @@ def _march_loop(lp, xs, ys, width, height, edges, majors, nb, ml,
         px = ox + dx * tl
         py = oy + dy * tl
         pz = oz + dz * tl
-        test16, prof, cid, hit, t_skip = locate_march(px, py, pz, r,
-                                                      pend, tl)
+        test16, prof, cid, hit, t_skip, served = locate_march(
+            px, py, pz, r, pend, tl)
         hit = pend & hit
 
         # HIT: integrate the crossing [t, t_exit] analytically
@@ -360,12 +360,14 @@ def _march_loop(lp, xs, ys, width, height, edges, majors, nb, ml,
         ab = jnp.where(hit, ab + T * cb, ab)
         T = jnp.where(hit, T * tmul, T)
 
-        # next position: hit -> column exit; miss -> exact gap skip;
-        # zero band -> band exit.  Progress floor tl guards f32 ties.
+        # next position: hit -> column exit; served miss -> exact gap
+        # skip; UNSERVED miss (two-stage tail overflow) -> stay put and
+        # retry next iteration (latency only, never bias); zero band ->
+        # band exit.  Progress floor tl guards f32 ties.
         t_miss = jnp.maximum(jnp.minimum(t_skip, seg_end), tl)
         t_new = jnp.where(hit, t_exit,
                           jnp.where(zero, jnp.maximum(seg_end, tl),
-                                    t_miss))
+                                    jnp.where(served, t_miss, t)))
         t = jnp.where(act, t_new, t)
         done = jnp.where(act & (T < et_eps), 1, done)
         return (t, si, seg_hi, T, ar, ag, ab, done, it + 1)
@@ -423,12 +425,17 @@ def march_rays_q(q: QuantizedCells, loc: Locator, k_cap: int,
         rgba = packed_gather(tab, vq, 4)              # (L, lm, 4)
         return rgba[..., 0], rgba[..., 1], rgba[..., 2]
 
+    from .fastq import _locate_q_fine
+    primary = None if finemap is None else (
+        lambda px, py, pz, r, pend: _locate_q_fine(
+            finemap, loc, k_cap, q, px, py, pz, r, pend))
     return _march_generic(q_locate=locate_march, colors_fn=colors_q,
                           loc=loc, bands=bands, lp=lp, xs=xs, ys=ys,
                           width=width, height=height, ml=lm,
                           prof_w=3 * lm, w_cols=False,
                           max_outer=max_outer, et_eps=et_eps,
-                          return_cost=return_cost)
+                          return_cost=return_cost, primary=primary,
+                          tail_cap=max(xs.shape[0] // 4, 128))
 
 
 def march_rays(cells, packed, loc: Locator, bands: RadialBands, lp,
@@ -465,9 +472,19 @@ def march_rays(cells, packed, loc: Locator, bands: RadialBands, lp,
 
 def _march_generic(*, q_locate, colors_fn, loc, bands, lp, xs, ys,
                    width, height, ml, prof_w, w_cols, max_outer, et_eps,
-                   return_cost):
+                   return_cost, primary=None, tail_cap: int = 0):
     """Tier glue: wraps a tier's locate (which returns the raw candidate
-    rows) with the exact gap-skip computation, then runs _march_loop."""
+    rows) with the exact gap-skip computation, then runs _march_loop.
+
+    With `primary` (the finemap point locate): a TWO-STAGE service — the
+    cheap primary runs dense on all pending lanes, and only its MISSES
+    (true gaps + unmapped points) are compacted to `tail_cap` rows for
+    the full query + skip computation.  The march is refresh-bound by
+    construction (every column change is a locate; the two-slot cache
+    never hits on a monotonic walk), so the primary carries most of the
+    gather cost at giant-table scales, exactly as in the Woodcock tiers.
+    Tail overflow lanes report served=False and retry next iteration
+    (latency only, never bias — _march_loop keeps their t)."""
     ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
     oo = ox * ox + oy * oy + oz * oz
     org = (ox, oy, oz)
@@ -482,13 +499,43 @@ def _march_generic(*, q_locate, colors_fn, loc, bands, lp, xs, ys,
                                   majors, oo, nb, prof_w=prof_w)
     dx, dy, dz, od = consts.dx, consts.dy, consts.dz, consts.od
 
-    def locate(px, py, pz, r, pend, tl):
+    def full_with_skip(px, py, pz, r, pend, tl, dxs, dys, dzs, ods):
         test16, prof, cid, hit, trows, valid, bl, bo = q_locate(
             px, py, pz, r, pend, tl)
-        entry = _candidate_entries(trows, valid, tl, org, dx, dy, dz,
-                                   od, oo, w_cols=w_cols)
-        tbin = _bin_exit(loc, bl, bo, tl, org, dx, dy, dz, od, oo)
+        entry = _candidate_entries(trows, valid, tl, org, dxs, dys, dzs,
+                                   ods, oo, w_cols=w_cols)
+        tbin = _bin_exit(loc, bl, bo, tl, org, dxs, dys, dzs, ods, oo)
         return test16, prof, cid, hit, jnp.minimum(entry, tbin)
+
+    if primary is None:
+        def locate(px, py, pz, r, pend, tl):
+            out = full_with_skip(px, py, pz, r, pend, tl, dx, dy, dz, od)
+            return (*out, pend)
+    else:
+        def locate(px, py, pz, r, pend, tl):
+            t16a, profa, cida, hita = primary(px, py, pz, r, pend)
+            miss = pend & ~hita
+            L = px.shape[0]
+            P = min(max(tail_cap, 128), L)
+            cnt = jnp.sum(miss.astype(jnp.int32))
+            idx = jnp.nonzero(miss, size=P, fill_value=L - 1)[0]
+            ok = jnp.arange(P) < cnt
+            t16b, profb, cidb, hitb, skipb = full_with_skip(
+                px[idx], py[idx], pz[idx], r[idx], ok, tl[idx],
+                dx[idx], dy[idx], dz[idx], od[idx])
+            # scatter-free rank-gather merge (CLAUDE.md: never row
+            # scatters on TPU)
+            rank = jnp.cumsum(miss.astype(jnp.int32)) - 1
+            in_win = miss & (rank < P)
+            rc = jnp.clip(rank, 0, P - 1)
+            big = jnp.float32(np.finfo(np.float32).max)
+            test16 = jnp.where(in_win[:, None], t16b[rc], t16a)
+            prof = jnp.where(in_win[:, None], profb[rc], profa)
+            cid = jnp.where(in_win, cidb[rc], cida)
+            hit = jnp.where(in_win, hitb[rc], hita)
+            t_skip = jnp.where(in_win, skipb[rc], big)
+            served = (pend & hita) | (in_win & ok[rc])
+            return test16, prof, cid, hit, t_skip, served
 
     return _march_loop(lp, xs, ys, width, height, edges, majors, nb, ml,
                        locate, colors_fn, max_outer, et_eps, return_cost,

@@ -346,3 +346,21 @@ def test_march_alpha_bounds(scene):
     # early termination leaves at most ET_EPS of transmittance unresolved
     assert np.isfinite(a).all()
     assert ET_EPS <= 1e-2
+
+
+def test_march_finemap_two_stage_matches(scene):
+    """The finemap two-stage march service (dense primary + compacted
+    full tail) must produce the same image as the dense full locate:
+    the march has no RNG, so service cadence cannot change values —
+    only f32 boundary-tie column choices may differ."""
+    from icon_rt_tpu.models.finemap import build_finemap
+
+    q, loc, k_cap, bands, tf, lp = scene
+    fm = build_finemap(loc, q.test12, k_cap)
+    a0, _ = render_frame_march_q(
+        q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(0)),
+        *alloc_frame(W, H), width=W, height=H, chunk=W * H)
+    a1, _ = render_frame_march_q(
+        q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(0)),
+        *alloc_frame(W, H), width=W, height=H, chunk=W * H, finemap=fm)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-4)
