@@ -94,6 +94,8 @@ def _emit(note: str = ""):
                   if "tf_stroke_s" in r else "")
         if "tf_preview_s" in r:
             stroke += f" (preview {r['tf_preview_s']}s)"
+        if "rmse_q" in r:
+            stroke += f" (rmse_q {r['rmse_q']})"
         fps1 = (f", {r['fps1']} frames/s@1spp" if "fps1" in r else "")
         return (f"{name}[{r['cells']}c,{r['framing']},cov={r['coverage']}]: "
                 f"{rate} Mray/s (spread {r.get('spread', -1)}), "
@@ -413,11 +415,25 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                   f"retrying factor={fm_factor}", file=sys.stderr, flush=True)
             del e
             gc.collect()   # drop leaked device buffers of the failed build
-    return _measure_row_q(
+    row = _measure_row_q(
         q, loc, k_cap, bands, tf, stats, fm,
         n_cells=20 * 4 ** subdiv,
         tag="/quantized" + (f"+lod{lod}" if lod else ""),
         framing=framing, iters=iters, chunk=chunk, spr=spr, spp=spp)
+    if eff == 8 and lod == 0 and os.environ.get("BENCH_RMSE", "1") == "1":
+        # quantized-tier error budget in the artifact (VERDICT r4 next
+        # #8): deterministic march-vs-march RMSE at the largest scale
+        # where both tiers fit
+        try:
+            t0 = time.perf_counter()
+            row["rmse_q"] = round(_rmse_q_vs_f32(eff, num_layers), 4)
+            print(f"# rmse_q {row['rmse_q']} "
+                  f"({time.perf_counter() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# rmse_q failed: {type(e).__name__}: "
+                  f"{str(e)[:120]}", file=sys.stderr, flush=True)
+    return row
 
 
 def _measure_row_q(q, loc, k_cap, bands, tf, stats, fm, *, n_cells,
@@ -578,6 +594,61 @@ def _measure_row_q(q, loc, k_cap, bands, tf, stats, fm, *, n_cells,
         "tf_stroke_s": round(dt_stroke, 3),
         "tf_preview_s": round(dt_preview, 3),
     }
+
+
+def _rmse_q_vs_f32(subdiv: int, num_layers: int, Wr: int = 480,
+                   Hr: int = 270) -> float:
+    """Quantized-tier image error vs the f32 tier at the same scale
+    (VERDICT r4 next #8: BASELINE's metric names 'image RMSE vs
+    reference'), measured with the DETERMINISTIC march on both tiers —
+    the same integral evaluated in closed form, so the number is pure
+    u8/u16 quantization error with zero Monte-Carlo noise.  Runs at a
+    reduced frame (the error is a field property, not a resolution
+    property); both scenes are the host-built icosphere with
+    value-quantized fields, per tests/test_march.py's cross-tier lock."""
+    from icon_rt_tpu.data import synthetic as synth
+    from icon_rt_tpu.models.locator import (build_locator_csr, densify_csr)
+    from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
+                                           quantize_dataset_values)
+    from icon_rt_tpu.ops.march import (render_frame_march,
+                                       render_frame_march_q)
+
+    ds = synth.icosphere(subdivisions=subdiv, num_layers=num_layers)
+    ds_q, lo, hi = quantize_dataset_values(ds)
+    stats = compute_stats(ds_q)
+    tf = make_transfunc(value_range=tuple(stats.data_range))
+    bands = update_band_majorants(build_radial_bands(ds_q, 64),
+                                  tf.values, tf.value_range)
+    cam = _camera(stats, "closeup")
+    ud = 10.0 ** (np.floor(np.log10(stats.spherical_bounds_lo[0])) - 3)
+    lp = make_launch_params(cam.basis(Wr, Hr), stats.world_bounds_lo,
+                            stats.world_bounds_hi, unit_distance=ud)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], Wr, Hr)
+    perm = jnp.asarray(perm)
+
+    cells = build_cells(ds_q)
+    loc_f = build_locator(ds_q)   # top-level import (bench_row's builder)
+    packed = pack_cells(cells, tf)
+    accum_f, _ = render_frame_march(
+        cells, packed, loc_f, bands, lp._replace(accum_id=jnp.int32(0)),
+        *alloc_frame(Wr, Hr), width=Wr, height=Hr, pixel_perm=perm,
+        n_active=n_active, chunk=8192)
+    af = np.asarray(accum_f)
+    del cells, packed, loc_f
+
+    q = bake_alpha_q(quantize_cells(ds_q, value_range=(lo, hi)), tf)
+    csr, k_cap = build_locator_csr(ds_q)
+    loc_q = densify_csr(csr, k_cap)
+    accum_q, _ = render_frame_march_q(
+        q, loc_q, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(0)),
+        *alloc_frame(Wr, Hr), width=Wr, height=Hr, pixel_perm=perm,
+        n_active=n_active, chunk=8192)
+    aq = np.asarray(accum_q)
+    both = (af[:, 3] > 0) & (aq[:, 3] > 0)
+    if not both.any():
+        return float("nan")
+    return float(np.sqrt(np.mean((af[both] - aq[both]) ** 2)))
 
 
 IC_CACHE_DIR = "/root/.cache/icon_rt_tpu"

@@ -221,7 +221,8 @@ def stage_q(subdiv, layers, W, H, chunk, S, passes):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", default="a", choices=list("abc"))
+    ap.add_argument("--stage", default="a",
+                    choices=["a", "b", "c", "bc", "abc"])
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--chunk", type=int, default=8192)
@@ -232,13 +233,16 @@ def main():
     from icon_rt_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     probe()
-    if args.stage == "a":
+    # one process for every requested stage: a fresh client connection
+    # can pay a multi-minute worker re-init in this environment (round-5
+    # session log: 61 s / 347 s / 644 s first-execution walls)
+    if "a" in args.stage:
         stage_f32(5, 16, args.width, args.height, args.chunk,
                   args.samples, args.passes)
-    elif args.stage == "b":
+    if "b" in args.stage:
         stage_f32(7, 16, args.width, args.height, args.chunk,
                   args.samples, args.passes)
-    else:
+    if "c" in args.stage:
         stage_q(8, 16, args.width, args.height, args.chunk,
                 min(args.samples, 16), args.passes)
 

@@ -108,3 +108,11 @@ def test_bench_row_ic(tiny_frame, monkeypatch, tmp_path):
                             framing="viewall", chunk=64, spr=4, spp=2)
     assert r2["framing"].startswith("viewall/ic-quantized")
     assert r2["coverage"] > 0
+
+
+def test_bench_rmse_q(tiny_frame):
+    """Deterministic quantization-error metric (VERDICT r4 next #8):
+    march-vs-march RMSE between the tiers, zero MC noise."""
+    r = bench._rmse_q_vs_f32(2, 4, Wr=64, Hr=36)
+    assert np.isfinite(r)
+    assert 0.0 <= r < 0.06, r
