@@ -349,6 +349,33 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     The scene is generated ON the device (data/device_scene.py — seconds
     of TPU compute instead of ~35 min of relay upload) and alpha is baked
     on device; only the locator table is uploaded (npz-cached binning)."""
+    q, loc, k_cap, bands, tf, stats, fm, lod, eff = _build_q_scene(
+        subdiv, num_layers, framing)
+    row = _measure_row_q(
+        q, loc, k_cap, bands, tf, stats, fm,
+        n_cells=20 * 4 ** subdiv,
+        tag="/quantized" + (f"+lod{lod}" if lod else ""),
+        framing=framing, iters=iters, chunk=chunk, spr=spr, spp=spp)
+    if eff == 8 and lod == 0 and os.environ.get("BENCH_RMSE", "1") == "1":
+        # quantized-tier error budget in the artifact (VERDICT r4 next
+        # #8): deterministic march-vs-march RMSE at the largest scale
+        # where both tiers fit
+        try:
+            t0 = time.perf_counter()
+            row["rmse_q"] = round(_rmse_q_vs_f32(eff, num_layers), 4)
+            print(f"# rmse_q {row['rmse_q']} "
+                  f"({time.perf_counter() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# rmse_q failed: {type(e).__name__}: "
+                  f"{str(e)[:120]}", file=sys.stderr, flush=True)
+    return row
+
+
+def _build_q_scene(subdiv: int, num_layers: int, framing: str):
+    """Device-synthesized quantized scene + locator + finemap, shared by
+    the Woodcock (bench_row_q) and march (bench_row_m) rows.  Returns
+    (q, loc, k_cap, bands, tf, stats, fm, lod, eff)."""
     import gc
     import os as _os
 
@@ -357,7 +384,6 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                                            synth_quantized_cached)
     from icon_rt_tpu.data.device_scene import synth_quantized_device
     from icon_rt_tpu.models.qcells import bake_alpha_q
-    from icon_rt_tpu.ops.fastq import render_frame_fast_q
 
     # mip-tier selection (data/lod.py; VERDICT r3 next #3b): BENCH_LOD =
     # auto (default; nearest-mip from the framing's pixel footprint) or an
@@ -415,25 +441,94 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
                   f"retrying factor={fm_factor}", file=sys.stderr, flush=True)
             del e
             gc.collect()   # drop leaked device buffers of the failed build
-    row = _measure_row_q(
-        q, loc, k_cap, bands, tf, stats, fm,
-        n_cells=20 * 4 ** subdiv,
-        tag="/quantized" + (f"+lod{lod}" if lod else ""),
-        framing=framing, iters=iters, chunk=chunk, spr=spr, spp=spp)
-    if eff == 8 and lod == 0 and os.environ.get("BENCH_RMSE", "1") == "1":
-        # quantized-tier error budget in the artifact (VERDICT r4 next
-        # #8): deterministic march-vs-march RMSE at the largest scale
-        # where both tiers fit
-        try:
-            t0 = time.perf_counter()
-            row["rmse_q"] = round(_rmse_q_vs_f32(eff, num_layers), 4)
-            print(f"# rmse_q {row['rmse_q']} "
-                  f"({time.perf_counter() - t0:.0f}s)",
-                  file=sys.stderr, flush=True)
-        except Exception as e:
-            print(f"# rmse_q failed: {type(e).__name__}: "
-                  f"{str(e)[:120]}", file=sys.stderr, flush=True)
-    return row
+    return q, loc, k_cap, bands, tf, stats, fm, lod, eff
+
+
+def bench_row_m(subdiv: int, num_layers: int, iters: int, framing: str,
+                chunk: int, spr: int, spp: int) -> dict:
+    """Deterministic-MARCH row (ops/march.py): the flagship converged-
+    image metric.  One pass computes the expectation the Woodcock rows
+    estimate, so mray_full here is CONVERGED rays/s (one noise-free
+    frame per pass; only pixel-jitter antialiasing remains), and
+    tf_edit_s is edit -> first CONVERGED frame.  Chunks run ONE PER
+    EXECUTION with host materialization between (bounded executions at
+    any scene cost — the worker's silent ~60 s ceiling cannot be hit by
+    a single chunk)."""
+    import jax
+
+    from icon_rt_tpu.models.qcells import bake_alpha_q
+    from icon_rt_tpu.ops.march import march_rays_q
+
+    q, loc, k_cap, bands, tf, stats, fm, lod, eff = _build_q_scene(
+        subdiv, num_layers, framing)
+    cam = _camera(stats, framing)
+    unit_distance = 10.0 ** (np.floor(
+        np.log10(stats.spherical_bounds_lo[0])) - 3)
+    lp = make_launch_params(cam.basis(WIDTH, HEIGHT), stats.world_bounds_lo,
+                            stats.world_bounds_hi,
+                            unit_distance=unit_distance)
+    perm, n_active = pixel_order(lp, stats.spherical_bounds_lo[0],
+                                 stats.spherical_bounds_hi[0], WIDTH, HEIGHT)
+    total = WIDTH * HEIGHT
+    n_proc = min(total, -(-max(n_active, 1) // chunk) * chunk)
+    pix = np.asarray(perm[:n_proc])
+    n = n_proc // chunk
+    ys_all, xs_all = np.divmod(pix.reshape(n, chunk), WIDTH)
+    xs_d = [jnp.asarray(x) for x in xs_all]
+    ys_d = [jnp.asarray(y) for y in ys_all]
+
+    @jax.jit
+    def march_chunk(xs, ys, tf_, bands_, q_, p):
+        return march_rays_q(q_, loc, k_cap, bands_, tf_,
+                            lp._replace(accum_id=p), xs, ys,
+                            WIDTH, HEIGHT, finemap=fm)
+
+    def sweep(tf_, bands_, q_, p):
+        """One converged pass over the covered prefix; returns the alpha
+        coverage (also the host materialization that validates every
+        execution)."""
+        covered = 0
+        for i in range(n):
+            w, ca = march_chunk(xs_d[i], ys_d[i], tf_, bands_, q_,
+                                jnp.int32(p))
+            covered += int((np.asarray(ca)[:, 3] > 0).sum())
+        return covered / total
+
+    cov = sweep(tf, bands, q, 0)       # warm (compile) + coverage
+    times = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        sweep(tf, bands, q, w + 1)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    spread = float((max(times) - min(times)) / max(dt, 1e-9))
+
+    # TF edit -> first CONVERGED frame (the march's interactivity story)
+    def tf_edit(tf2):
+        q2 = bake_alpha_q(q, tf2)
+        bands2 = update_band_majorants(bands, tf2.values, tf2.value_range)
+        sweep(tf2, bands2, q2, 0)
+
+    def gain_edit(gain, scale):
+        return tf._replace(values=tf.values * jnp.float32(gain),
+                           opacity_scale=jnp.float32(scale))
+
+    tf_edit(gain_edit(0.95, 0.9))
+    t0 = time.perf_counter()
+    tf_edit(gain_edit(0.9, 0.8))
+    dt_edit = time.perf_counter() - t0
+
+    return {
+        "cells": 20 * 4 ** subdiv,
+        "framing": framing + "/march" + (f"+lod{lod}" if lod else ""),
+        "coverage": round(cov, 3),
+        "mray_full": round(total / dt / 1e6, 2),
+        "mray_traced": round(n_proc / dt / 1e6, 2),
+        "fps": round(1.0 / dt, 3),      # CONVERGED frames/s
+        "fps1": round(1.0 / dt, 3),
+        "spread": round(spread, 3),
+        "tf_edit_s": round(dt_edit, 3),
+    }
 
 
 def _measure_row_q(q, loc, k_cap, bands, tf, stats, fm, *, n_cells,
@@ -764,6 +859,10 @@ ALL_ROWS = [
     # sweep) and one frame execution is ~28 s — under the ~60 s
     # axon-worker crash ceiling with margin at the round-4 rates
     ("r2b9q_closeup", 11, 16, 2, "closeup", "q", 64),   # 83,886,080 cells
+    # deterministic march (ops/march.py): CONVERGED frames/s at the
+    # headline scale — one pass computes what the Woodcock row needs
+    # ~64 samples to approximate
+    ("r2b9m_closeup", 11, 16, 2, "closeup", "m", 1),
     ("r2b4_closeup", 5, 16, 2, "closeup", "f32", 64),   # 20,480 cells
     # reference-format data (VERDICT r4 next #3): .ic terrain scene from
     # tools/convert_icon, finemap + compact on
@@ -773,6 +872,7 @@ ALL_ROWS = [
     # geometry — the framing field records the selected level
     ("r2b9q_viewall", 11, 16, 2, "viewall", "q", 64),
     ("r2b8q_closeup", 8, 16, 2, "closeup", "q", 16),    # quantized overhead
+    ("r2b8m_closeup", 8, 16, 2, "closeup", "m", 1),     # march, mid scale
     # file-loaded LOD (VERDICT r4 next #4): the geometric mip chain on
     # the .ic scene at the reference-default framing
     ("ic_r2b7_viewall", 7, 16, 2, "viewall", "ic", 64),
@@ -807,7 +907,7 @@ def _run_row(name: str) -> None:
     flat_row = tier == "q" and eff_cells >= FLAT_AUTO_MIN_CELLS
     spr = int(os.environ.get("BENCH_SPR", "10" if flat_row else "8"))
     spp = int(os.environ.get("BENCH_SAMPLES", "64"))
-    fn = {"q": bench_row_q, "ic": bench_row_ic,
+    fn = {"q": bench_row_q, "ic": bench_row_ic, "m": bench_row_m,
           "f32": bench_row}[tier]
     row = fn(subdiv, layers, iters, framing, chunk, spr, min(spp, spp_cap))
     print("BENCHROW " + json.dumps(row), flush=True)

@@ -152,10 +152,13 @@ def stage_f32(subdiv, layers, W, H, chunk, S, passes):
           f"{dt_wood:.2f}s)", flush=True)
 
 
-def stage_q(subdiv, layers, W, H, chunk, S, passes):
+def stage_q(subdiv, layers, W, H, chunk, S, passes, fm_factor=2,
+            wood=True, spr=8):
     import jax
     import jax.numpy as jnp
-    from icon_rt_tpu.data.bigscene import (build_locator_csr_from_scene,
+    from icon_rt_tpu.data.bigscene import (build_finemap_cached,
+                                           build_locator_csr_from_scene,
+                                           locator_cache_path,
                                            synth_quantized_cached)
     from icon_rt_tpu.data.device_scene import synth_quantized_device
     from icon_rt_tpu.models.qcells import bake_alpha_q
@@ -171,58 +174,70 @@ def stage_q(subdiv, layers, W, H, chunk, S, passes):
     tf = make_transfunc(value_range=tuple(stats.data_range))
     q = bake_alpha_q(dsc.cells, tf)
     bands = update_band_majorants(dsc.bands, tf.values, tf.value_range)
+    del dsc
     cache_key = f"s{subdiv}_l{layers}"
     sc = None
-    from icon_rt_tpu.data.bigscene import locator_cache_path
     if not os.path.exists(locator_cache_path(cache_key, 1.0)):
         sc = synth_quantized_cached(subdiv, layers)
     loc, k_cap = build_locator_csr_from_scene(sc, cache_key=cache_key)
     del sc
+    fm = None
+    if fm_factor:
+        fm = build_finemap_cached(loc, q.test12, k_cap, factor=fm_factor,
+                                  cache_key=cache_key, dims_scale=1.0)
+        np.asarray(fm.dims)
     lp, perm, inv, n_active, n_proc = _setup_frame(stats, W, H, chunk)
     perm_d = jnp.asarray(perm)
     print(f"scene q subdiv={subdiv}: n_active={n_active}, k_cap={k_cap}, "
+          f"fm={'x%d' % fm_factor if fm is not None else 'none'}, "
           f"build {time.time()-t0:.1f}s", flush=True)
 
-    accum, fb = alloc_frame(W, H)
-    step = lambda s, a, f, n: render_frame_fast_q(
-        q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(s)),
-        a, f, width=W, height=H, pixel_perm=perm_d, n_active=n_active,
-        chunk=chunk, samples=n, refresh_compact=2048)
-    accum, fb = step(9000, accum, fb, 1)
-    np.asarray(fb)
-    accum, fb = alloc_frame(W, H)
-    t0 = time.perf_counter()
-    done = 0
-    while done < S:
-        n = min(16, S - done)
-        accum, fb = step(done, accum, fb, n)
+    aw = None
+    if wood:
+        accum, fb = alloc_frame(W, H)
+        step = lambda s, a, f, n: render_frame_fast_q(
+            q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(s)),
+            a, f, width=W, height=H, pixel_perm=perm_d, n_active=n_active,
+            chunk=chunk, samples=n, refresh_compact=2048, finemap=fm,
+            steps_per_refresh=spr)
+        accum, fb = step(9000, accum, fb, 1)
         np.asarray(fb)
-        done += n
-    dt_wood = time.perf_counter() - t0
-    aw = np.asarray(accum)
-    print(f"  woodcock {S} samples: {dt_wood:.2f}s "
-          f"({W*H*S/dt_wood/1e6:.1f} Mray/s full)", flush=True)
+        accum, fb = alloc_frame(W, H)
+        t0 = time.perf_counter()
+        done = 0
+        while done < S:
+            n = min(16, S - done)
+            accum, fb = step(done, accum, fb, n)
+            np.asarray(fb)
+            done += n
+        dt_wood = time.perf_counter() - t0
+        aw = np.asarray(accum)
+        print(f"  woodcock {S} samples: {dt_wood:.2f}s "
+              f"({W*H*S/dt_wood/1e6:.1f} Mray/s full)", flush=True)
 
     @jax.jit
     def march_chunk(xs, ys, p):
         return march_rays_q(q, loc, k_cap, bands, tf,
                             lp._replace(accum_id=jnp.int32(p)), xs, ys,
-                            W, H)
+                            W, H, finemap=fm)
 
     dt_m, am = _march_sweep(march_chunk, perm, n_proc, W, chunk,
                             f"q-s{subdiv}", passes)
-    cov = aw[:n_proc, 3] > 0.999
-    sel = cov & (am[:n_proc, 3] > 0)
-    d = np.abs(am[sel] - aw[:n_proc][sel])
-    print(f"  march vs woodcock interior mean|d|: {d.mean():.4f}; "
-          f"CONVERGED-IMAGE speedup: {dt_wood / max(dt_m, 1e-9):.1f}x",
-          flush=True)
+    if aw is not None:
+        cov = aw[:n_proc, 3] > 0.999
+        sel = cov & (am[:n_proc, 3] > 0)
+        d = np.abs(am[sel] - aw[:n_proc][sel])
+        print(f"  march vs woodcock interior mean|d|: {d.mean():.4f}; "
+              f"CONVERGED-IMAGE speedup: {dt_wood / max(dt_m, 1e-9):.1f}x",
+              flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="a",
-                    choices=["a", "b", "c", "bc", "abc"])
+                    choices=["a", "b", "c", "d", "bc", "cd", "abc"])
+    ap.add_argument("--fm", type=int, default=2)
+    ap.add_argument("--no-wood", action="store_true")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--chunk", type=int, default=8192)
@@ -244,7 +259,14 @@ def main():
                   args.samples, args.passes)
     if "c" in args.stage:
         stage_q(8, 16, args.width, args.height, args.chunk,
-                min(args.samples, 16), args.passes)
+                min(args.samples, 16), args.passes, fm_factor=args.fm,
+                wood=not args.no_wood)
+    if "d" in args.stage:
+        # the headline scale (r2b9q).  Woodcock S=16 here is ~90 s of
+        # bounded executions at the round-4 rates; march per-chunk.
+        stage_q(11, 16, args.width, args.height, args.chunk,
+                min(args.samples, 16), args.passes, fm_factor=args.fm,
+                wood=not args.no_wood, spr=10)
 
 
 if __name__ == "__main__":

@@ -116,3 +116,15 @@ def test_bench_rmse_q(tiny_frame):
     r = bench._rmse_q_vs_f32(2, 4, Wr=64, Hr=36)
     assert np.isfinite(r)
     assert 0.0 <= r < 0.06, r
+
+
+def test_bench_row_march(tiny_frame, monkeypatch, tmp_path):
+    """March row: converged frames/s + edit-to-converged latency."""
+    from icon_rt_tpu.data import bigscene
+    monkeypatch.setattr(bigscene, "_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("BENCH_FINEMAP", "2")
+    r = bench.bench_row_m(subdiv=1, num_layers=2, iters=1,
+                          framing="closeup", chunk=64, spr=4, spp=1)
+    assert r["framing"] == "closeup/march"
+    assert r["coverage"] > 0.3
+    assert r["fps"] > 0 and r["tf_edit_s"] > 0
