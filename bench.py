@@ -454,6 +454,8 @@ def bench_row_m(subdiv: int, num_layers: int, iters: int, framing: str,
     EXECUTION with host materialization between (bounded executions at
     any scene cost — the worker's silent ~60 s ceiling cannot be hit by
     a single chunk)."""
+    import functools
+
     import jax
 
     from icon_rt_tpu.models.qcells import bake_alpha_q
@@ -477,11 +479,15 @@ def bench_row_m(subdiv: int, num_layers: int, iters: int, framing: str,
     xs_d = [jnp.asarray(x) for x in xs_all]
     ys_d = [jnp.asarray(y) for y in ys_all]
 
-    @jax.jit
-    def march_chunk(xs, ys, tf_, bands_, q_, p):
-        return march_rays_q(q_, loc, k_cap, bands_, tf_,
+    @functools.partial(jax.jit, static_argnames=("k_cap_",))
+    def march_chunk(xs, ys, tf_, bands_, q_, loc_, fm_, p, k_cap_):
+        # every table an explicit argument: closure-captured device
+        # arrays are hoisted as lowering CONSTANTS (jax warns at 11.7 GB
+        # captured for the r2b9q tables), which bloats lowering and
+        # risks duplication — arguments stay by-reference
+        return march_rays_q(q_, loc_, k_cap_, bands_, tf_,
                             lp._replace(accum_id=p), xs, ys,
-                            WIDTH, HEIGHT, finemap=fm)
+                            WIDTH, HEIGHT, finemap=fm_)
 
     def sweep(tf_, bands_, q_, p):
         """One converged pass over the covered prefix; returns the alpha
@@ -490,7 +496,7 @@ def bench_row_m(subdiv: int, num_layers: int, iters: int, framing: str,
         covered = 0
         for i in range(n):
             w, ca = march_chunk(xs_d[i], ys_d[i], tf_, bands_, q_,
-                                jnp.int32(p))
+                                loc, fm, jnp.int32(p), k_cap_=k_cap)
             covered += int((np.asarray(ca)[:, 3] > 0).sum())
         return covered / total
 
