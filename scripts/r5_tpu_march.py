@@ -215,11 +215,19 @@ def stage_q(subdiv, layers, W, H, chunk, S, passes, fm_factor=2,
         print(f"  woodcock {S} samples: {dt_wood:.2f}s "
               f"({W*H*S/dt_wood/1e6:.1f} Mray/s full)", flush=True)
 
-    @jax.jit
-    def march_chunk(xs, ys, p):
-        return march_rays_q(q, loc, k_cap, bands, tf,
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k_",))
+    def _march_chunk(xs, ys, q_, loc_, bands_, tf_, fm_, p, k_):
+        # tables as ARGUMENTS: closure capture hoists them as lowering
+        # constants (11.7 GB warning at r2b9q) — slow lowering + risk of
+        # duplication
+        return march_rays_q(q_, loc_, k_, bands_, tf_,
                             lp._replace(accum_id=jnp.int32(p)), xs, ys,
-                            W, H, finemap=fm)
+                            W, H, finemap=fm_)
+
+    def march_chunk(xs, ys, p):
+        return _march_chunk(xs, ys, q, loc, bands, tf, fm, p, k_=k_cap)
 
     dt_m, am = _march_sweep(march_chunk, perm, n_proc, W, chunk,
                             f"q-s{subdiv}", passes)
