@@ -28,16 +28,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _preflight_backend(timeout_s: int = 240) -> bool:
-    """Probe backend init in a SUBPROCESS with a hard timeout, BEFORE any
-    heavy import can touch the backend.  The SIGALRM watchdog cannot
-    interrupt a C-level hang inside backend init (the axon worker wedges
-    silently, README gotchas), so a wedged worker would otherwise hang
-    the whole bench past any deadline."""
+def _preflight_backend(timeout_s: int = 900) -> bool:
+    """Probe backend init AND one tiny materialized EXECUTION in a
+    SUBPROCESS with a hard timeout, BEFORE any row budget starts.  Two
+    reasons (README gotchas): (a) the SIGALRM watchdog cannot interrupt
+    a C-level hang inside a wedged worker, so the probe must be
+    killable; (b) after a prior client session the worker's FIRST
+    execution can stall for many minutes (round-5 measured walls up to
+    ~11 min) — `jax.devices()` alone does not absorb that recovery, and
+    paying it inside the first row's budget starves the headline row.
+    A successful probe here means the rows start against a live,
+    recovered worker."""
     import subprocess
     try:
         subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp, numpy as np; "
+             "np.asarray(jnp.ones((8, 128)) * 2)"],
             check=True, capture_output=True, timeout=timeout_s)
         return True
     except Exception:
