@@ -300,11 +300,23 @@ def _bin_indices(loc: Locator, px, py, pz, r, pend):
 
 def _march_loop(lp, xs, ys, width, height, edges, majors, nb, ml,
                 locate_march, colors_fn, max_outer, et_eps, return_cost,
-                prof_w):
+                prof_w, generations: int = 3):
     """Shared march driver (both tiers): the dense event loop described
-    in the module docstring.  locate_march(px, py, pz, r, pend, tl) ->
-    (test16, prof, cid, hit, t_skip); colors_fn(prof, cid, hit) ->
-    per-layer (r, g, b) each (L, ml)."""
+    in the module docstring.  locate_march(px, py, pz, r, pend, tl, cs)
+    -> (test16, prof, cid, hit, t_skip, served) with cs = (dx, dy, dz,
+    od) of the CURRENT lane set; colors_fn(prof, cid, hit) -> per-layer
+    (r, g, b) each (L, ml).
+
+    GENERATIONAL COMPACTION (round 5): rays finish at very different
+    iteration counts (early termination; radial vs tangential chords),
+    and a dense loop pays every lane every iteration.  The loop runs in
+    up to `generations` stages of halving width: stage g exits once the
+    active count fits the next width, the survivors (and their per-lane
+    ray constants) GATHER into the narrower arrays, and results merge
+    back with the scatter-free rank-gather select (CLAUDE.md: never row
+    scatters).  Per-lane math is untouched — outputs are bit-identical
+    to the single-stage loop (locked by tests/test_march.py); only wall
+    time changes."""
     ox, oy, oz = lp.cam_org[0], lp.cam_org[1], lp.cam_org[2]
     oo = ox * ox + oy * oy + oz * oz
     org = (ox, oy, oz)
@@ -312,72 +324,116 @@ def _march_loop(lp, xs, ys, width, height, edges, majors, nb, ml,
 
     init, consts, wrote = _init_lanes(lp, xs, ys, width, height,
                                       edges, majors, oo, nb, prof_w=prof_w)
-    dx, dy, dz, od = consts.dx, consts.dy, consts.dz, consts.od
+    cs_full = (consts.dx, consts.dy, consts.dz, consts.od,
+               consts.s1_lo, consts.s1_hi)
 
     eps_rel = jnp.float32(4e-7)
     eps_abs = jnp.float32(1e-4) * ud
 
-    def cond(carry):
-        t, si, seg_hi, T, ar, ag, ab, done, it = carry
-        return jnp.any(done == 0) & (it < max_outer)
+    def run_gen(carry, cs, min_active):
+        dx, dy, dz, od, s1_lo, s1_hi = cs
 
-    def body(carry):
-        t, si, seg_hi, T, ar, ag, ab, done, it = carry
-        active = done == 0
-        # shell-segment advance / exhaustion (ops/fast step_core semantics)
-        at_end = t >= seg_hi
-        to1 = active & at_end & (si == 0) & (consts.s1_hi > consts.s1_lo)
-        t = jnp.where(to1, consts.s1_lo, t)
-        seg_hi = jnp.where(to1, consts.s1_hi, seg_hi)
-        si = jnp.where(to1, 1, si)
-        done = jnp.where(active & at_end & ~to1, 1, done)
-        act = done == 0
+        def cond(c):
+            done, it = c[7], c[8]
+            alive = jnp.sum((done == 0).astype(jnp.int32))
+            return (alive > min_active) & (it < max_outer)
 
-        eps = jnp.maximum(eps_abs, jnp.abs(t) * eps_rel)
-        tl = t + eps
-        r = _r_of(tl, od, oo)
-        band = _band_of(r, edges, nb)
-        m = _select_band(majors, band)
-        seg_end, _ = _band_exit(tl, band, seg_hi, od, oo, edges)
-        zero = m <= 0.0
-        pend = act & ~zero
+        def body(carry):
+            t, si, seg_hi, T, ar, ag, ab, done, it = carry
+            active = done == 0
+            # shell-segment advance / exhaustion (step_core semantics)
+            at_end = t >= seg_hi
+            to1 = active & at_end & (si == 0) & (s1_hi > s1_lo)
+            t = jnp.where(to1, s1_lo, t)
+            seg_hi = jnp.where(to1, s1_hi, seg_hi)
+            si = jnp.where(to1, 1, si)
+            done = jnp.where(active & at_end & ~to1, 1, done)
+            act = done == 0
 
-        px = ox + dx * tl
-        py = oy + dy * tl
-        pz = oz + dz * tl
-        test16, prof, cid, hit, t_skip, served = locate_march(
-            px, py, pz, r, pend, tl)
-        hit = pend & hit
+            eps = jnp.maximum(eps_abs, jnp.abs(t) * eps_rel)
+            tl = t + eps
+            r = _r_of(tl, od, oo)
+            band = _band_of(r, edges, nb)
+            m = _select_band(majors, band)
+            seg_end, _ = _band_exit(tl, band, seg_hi, od, oo, edges)
+            zero = m <= 0.0
+            pend = act & ~zero
 
-        # HIT: integrate the crossing [t, t_exit] analytically
-        t_exit = _column_exit(test16, t, org, dx, dy, dz, od, oo, seg_hi)
-        t_exit = jnp.maximum(t_exit, tl)
-        tmul, cr, cg, cb = _integrate_column(
-            prof, ml, test16[:, 12], test16[:, 14].astype(jnp.int32),
-            t, t_exit, od, oo, ud, colors_fn(prof, cid, hit))
-        ar = jnp.where(hit, ar + T * cr, ar)
-        ag = jnp.where(hit, ag + T * cg, ag)
-        ab = jnp.where(hit, ab + T * cb, ab)
-        T = jnp.where(hit, T * tmul, T)
+            px = ox + dx * tl
+            py = oy + dy * tl
+            pz = oz + dz * tl
+            test16, prof, cid, hit, t_skip, served = locate_march(
+                px, py, pz, r, pend, tl, (dx, dy, dz, od))
+            hit = pend & hit
 
-        # next position: hit -> column exit; served miss -> exact gap
-        # skip; UNSERVED miss (two-stage tail overflow) -> stay put and
-        # retry next iteration (latency only, never bias); zero band ->
-        # band exit.  Progress floor tl guards f32 ties.
-        t_miss = jnp.maximum(jnp.minimum(t_skip, seg_end), tl)
-        t_new = jnp.where(hit, t_exit,
-                          jnp.where(zero, jnp.maximum(seg_end, tl),
-                                    jnp.where(served, t_miss, t)))
-        t = jnp.where(act, t_new, t)
-        done = jnp.where(act & (T < et_eps), 1, done)
-        return (t, si, seg_hi, T, ar, ag, ab, done, it + 1)
+            # HIT: integrate the crossing [t, t_exit] analytically
+            t_exit = _column_exit(test16, t, org, dx, dy, dz, od, oo,
+                                  seg_hi)
+            t_exit = jnp.maximum(t_exit, tl)
+            tmul, cr, cg, cb = _integrate_column(
+                prof, ml, test16[:, 12], test16[:, 14].astype(jnp.int32),
+                t, t_exit, od, oo, ud, colors_fn(prof, cid, hit))
+            ar = jnp.where(hit, ar + T * cr, ar)
+            ag = jnp.where(hit, ag + T * cg, ag)
+            ab = jnp.where(hit, ab + T * cb, ab)
+            T = jnp.where(hit, T * tmul, T)
+
+            # next position: hit -> column exit; served miss -> exact gap
+            # skip; UNSERVED miss (two-stage tail overflow) -> stay put
+            # and retry next iteration (latency only, never bias); zero
+            # band -> band exit.  Progress floor tl guards f32 ties.
+            t_miss = jnp.maximum(jnp.minimum(t_skip, seg_end), tl)
+            t_new = jnp.where(hit, t_exit,
+                              jnp.where(zero, jnp.maximum(seg_end, tl),
+                                        jnp.where(served, t_miss, t)))
+            t = jnp.where(act, t_new, t)
+            done = jnp.where(act & (T < et_eps), 1, done)
+            return (t, si, seg_hi, T, ar, ag, ab, done, it + 1)
+
+        return jax.lax.while_loop(cond, body, carry)
 
     L = xs.shape[0]
+    widths = [L]
+    w = L
+    for _ in range(max(generations, 1) - 1):
+        if w // 2 < 512:
+            break
+        w //= 2
+        widths.append(w)
+
     zero_f = jnp.zeros(L, F32)
     carry = (init.t, init.si, init.seg_hi, jnp.ones(L, F32),
              zero_f, zero_f, zero_f, init.done, jnp.int32(0))
-    t, si, seg_hi, T, ar, ag, ab, done, n_it = jax.lax.while_loop(
-        cond, body, carry)
+    carry = run_gen(carry, cs_full,
+                    widths[1] if len(widths) > 1 else 0)
+    for s in range(1, len(widths)):
+        Lg = widths[s]
+        t, si, seg_hi, T, ar, ag, ab, done, it = carry
+        active = done == 0
+        cnt = jnp.sum(active.astype(jnp.int32))
+        idx = jnp.nonzero(active, size=Lg, fill_value=0)[0]
+        okg = jnp.arange(Lg) < cnt      # fill slots become inert lanes
+        sub = (t[idx], si[idx], seg_hi[idx], T[idx],
+               ar[idx], ag[idx], ab[idx],
+               jnp.where(okg, 0, 1).astype(jnp.int32), it)
+        cs_g = tuple(a[idx] for a in cs_full)
+        out = run_gen(sub, cs_g,
+                      widths[s + 1] if s + 1 < len(widths) else 0)
+        to, sio, shio, To, aro, ago, abo, doneo, it = out
+        # scatter-free merge: each original lane gathers its own result
+        # row by compaction rank (inactive lanes keep their values)
+        rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+        in_win = active & (rank < Lg)
+        rc = jnp.clip(rank, 0, Lg - 1)
+        carry = (jnp.where(in_win, to[rc], t),
+                 jnp.where(in_win, sio[rc], si),
+                 jnp.where(in_win, shio[rc], seg_hi),
+                 jnp.where(in_win, To[rc], T),
+                 jnp.where(in_win, aro[rc], ar),
+                 jnp.where(in_win, ago[rc], ag),
+                 jnp.where(in_win, abo[rc], ab),
+                 jnp.where(in_win, doneo[rc], done), it)
+    t, si, seg_hi, T, ar, ag, ab, done, n_it = carry
 
     amb_r = lp.ambient_color[0] * lp.ambient_radiance
     amb_g = lp.ambient_color[1] * lp.ambient_radiance
@@ -394,7 +450,7 @@ def march_rays_q(q: QuantizedCells, loc: Locator, k_cap: int,
                  bands: RadialBands, tf: Transfunc, lp, xs, ys,
                  width: int, height: int, max_outer: int = 8192,
                  et_eps: float = ET_EPS, finemap=None,
-                 return_cost: bool = False):
+                 return_cost: bool = False, generations: int = 3):
     """One deterministic march for a batch of pixels on the quantized
     tier.  Returns (wrote (L,) bool, color_alpha (L, 4) f32) — the same
     contract as ops/fastq.render_fast_q, but color_alpha is the CONVERGED
@@ -435,12 +491,14 @@ def march_rays_q(q: QuantizedCells, loc: Locator, k_cap: int,
                           prof_w=3 * lm, w_cols=False,
                           max_outer=max_outer, et_eps=et_eps,
                           return_cost=return_cost, primary=primary,
-                          tail_cap=max(xs.shape[0] // 4, 128))
+                          tail_cap=max(xs.shape[0] // 4, 128),
+                          generations=generations)
 
 
 def march_rays(cells, packed, loc: Locator, bands: RadialBands, lp,
                xs, ys, width: int, height: int, max_outer: int = 8192,
-               et_eps: float = ET_EPS, return_cost: bool = False):
+               et_eps: float = ET_EPS, return_cost: bool = False,
+               generations: int = 3):
     """f32-tier deterministic march (peer of ops/fast.render_fast on the
     'locator' sampler): per-layer colors come from the baked
     PackedCells.rgb rows (one (L, 96) gather per column crossing)."""
@@ -467,12 +525,14 @@ def march_rays(cells, packed, loc: Locator, bands: RadialBands, lp,
                           width=width, height=height, ml=ml,
                           prof_w=PROF_W, w_cols=True,
                           max_outer=max_outer, et_eps=et_eps,
-                          return_cost=return_cost)
+                          return_cost=return_cost,
+                          generations=generations)
 
 
 def _march_generic(*, q_locate, colors_fn, loc, bands, lp, xs, ys,
                    width, height, ml, prof_w, w_cols, max_outer, et_eps,
-                   return_cost, primary=None, tail_cap: int = 0):
+                   return_cost, primary=None, tail_cap: int = 0,
+                   generations: int = 3):
     """Tier glue: wraps a tier's locate (which returns the raw candidate
     rows) with the exact gap-skip computation, then runs _march_loop.
 
@@ -492,13 +552,6 @@ def _march_generic(*, q_locate, colors_fn, loc, bands, lp, xs, ys,
     majors = bands.max_opacities
     nb = bands.num_bands
 
-    # ray dirs are fixed per call; recover them exactly as _march_loop
-    # does (same _init_lanes arithmetic) so the skip math sees the same
-    # consts.  Cheap: _init_lanes is pure arithmetic, fused by XLA.
-    init, consts, _ = _init_lanes(lp, xs, ys, width, height, edges,
-                                  majors, oo, nb, prof_w=prof_w)
-    dx, dy, dz, od = consts.dx, consts.dy, consts.dz, consts.od
-
     def full_with_skip(px, py, pz, r, pend, tl, dxs, dys, dzs, ods):
         test16, prof, cid, hit, trows, valid, bl, bo = q_locate(
             px, py, pz, r, pend, tl)
@@ -508,11 +561,13 @@ def _march_generic(*, q_locate, colors_fn, loc, bands, lp, xs, ys,
         return test16, prof, cid, hit, jnp.minimum(entry, tbin)
 
     if primary is None:
-        def locate(px, py, pz, r, pend, tl):
+        def locate(px, py, pz, r, pend, tl, cs):
+            dx, dy, dz, od = cs
             out = full_with_skip(px, py, pz, r, pend, tl, dx, dy, dz, od)
             return (*out, pend)
     else:
-        def locate(px, py, pz, r, pend, tl):
+        def locate(px, py, pz, r, pend, tl, cs):
+            dx, dy, dz, od = cs
             t16a, profa, cida, hita = primary(px, py, pz, r, pend)
             miss = pend & ~hita
             L = px.shape[0]
@@ -539,7 +594,7 @@ def _march_generic(*, q_locate, colors_fn, loc, bands, lp, xs, ys,
 
     return _march_loop(lp, xs, ys, width, height, edges, majors, nb, ml,
                        locate, colors_fn, max_outer, et_eps, return_cost,
-                       prof_w)
+                       prof_w, generations=generations)
 
 
 def _frame_driver(run, accum, fb, width, height, chunk, pixel_perm,
@@ -582,14 +637,15 @@ def _frame_driver(run, accum, fb, width, height, chunk, pixel_perm,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "chunk", "k_cap",
-                                    "n_active", "max_outer", "et_eps"),
+                                    "n_active", "max_outer", "et_eps",
+                                    "generations"),
                    donate_argnames=("accum", "fb"))
 def render_frame_march_q(q: QuantizedCells, loc: Locator, k_cap: int,
                          bands: RadialBands, tf: Transfunc, lp, accum, fb,
                          *, width: int, height: int, chunk: int = 4096,
                          pixel_perm=None, n_active: int | None = None,
                          max_outer: int = 8192, et_eps: float = ET_EPS,
-                         finemap=None):
+                         finemap=None, generations: int = 3):
     """Full-frame deterministic march on the quantized tier — drop-in
     peer of ops/fastq.render_frame_fast_q (same pixel_perm / n_active /
     chunking / _finalize contract).  Each call adds ONE jittered
@@ -598,7 +654,8 @@ def render_frame_march_q(q: QuantizedCells, loc: Locator, k_cap: int,
     def run(xs, ys):
         return march_rays_q(q, loc, k_cap, bands, tf, lp, xs, ys,
                             width, height, max_outer=max_outer,
-                            et_eps=et_eps, finemap=finemap)
+                            et_eps=et_eps, finemap=finemap,
+                            generations=generations)
 
     return _frame_driver(run, accum, fb, width, height, chunk, pixel_perm,
                          n_active, lp.accum_id)
@@ -606,19 +663,21 @@ def render_frame_march_q(q: QuantizedCells, loc: Locator, k_cap: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "chunk",
-                                    "n_active", "max_outer", "et_eps"),
+                                    "n_active", "max_outer", "et_eps",
+                                    "generations"),
                    donate_argnames=("accum", "fb"))
 def render_frame_march(cells, packed, loc: Locator, bands: RadialBands,
                        lp, accum, fb, *, width: int, height: int,
                        chunk: int = 4096, pixel_perm=None,
                        n_active: int | None = None,
-                       max_outer: int = 8192, et_eps: float = ET_EPS):
+                       max_outer: int = 8192, et_eps: float = ET_EPS,
+                       generations: int = 3):
     """Full-frame deterministic march on the f32 tier — drop-in peer of
     ops/fast.render_frame_fast (locator sampler)."""
     def run(xs, ys):
         return march_rays(cells, packed, loc, bands, lp, xs, ys,
                           width, height, max_outer=max_outer,
-                          et_eps=et_eps)
+                          et_eps=et_eps, generations=generations)
 
     return _frame_driver(run, accum, fb, width, height, chunk, pixel_perm,
                          n_active, lp.accum_id)

@@ -364,3 +364,18 @@ def test_march_finemap_two_stage_matches(scene):
         q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(0)),
         *alloc_frame(W, H), width=W, height=H, chunk=W * H, finemap=fm)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-4)
+
+
+def test_march_generational_compaction_bit_equal(scene):
+    """Generational compaction (halving-width stages as lanes finish) is
+    pure scheduling: per-lane math is untouched, so outputs must be
+    BIT-identical to the single-stage loop."""
+    q, loc, k_cap, bands, tf, lp = scene
+    out1 = render_frame_march_q(
+        q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(0)),
+        *alloc_frame(W, H), width=W, height=H, chunk=W * H, generations=1)
+    out3 = render_frame_march_q(
+        q, loc, k_cap, bands, tf, lp._replace(accum_id=jnp.int32(0)),
+        *alloc_frame(W, H), width=W, height=H, chunk=W * H, generations=3)
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out3[0]))
+    np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out3[1]))
