@@ -153,7 +153,7 @@ def stage_f32(subdiv, layers, W, H, chunk, S, passes):
 
 
 def stage_q(subdiv, layers, W, H, chunk, S, passes, fm_factor=2,
-            wood=True, spr=8):
+            wood=True, spr=8, generations=3):
     import jax
     import jax.numpy as jnp
     from icon_rt_tpu.data.bigscene import (build_finemap_cached,
@@ -217,20 +217,21 @@ def stage_q(subdiv, layers, W, H, chunk, S, passes, fm_factor=2,
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("k_",))
-    def _march_chunk(xs, ys, q_, loc_, bands_, tf_, fm_, p, k_):
+    @functools.partial(jax.jit, static_argnames=("k_", "g_"))
+    def _march_chunk(xs, ys, q_, loc_, bands_, tf_, fm_, p, k_, g_):
         # tables as ARGUMENTS: closure capture hoists them as lowering
         # constants (11.7 GB warning at r2b9q) — slow lowering + risk of
         # duplication
         return march_rays_q(q_, loc_, k_, bands_, tf_,
                             lp._replace(accum_id=jnp.int32(p)), xs, ys,
-                            W, H, finemap=fm_)
+                            W, H, finemap=fm_, generations=g_)
 
     def march_chunk(xs, ys, p):
-        return _march_chunk(xs, ys, q, loc, bands, tf, fm, p, k_=k_cap)
+        return _march_chunk(xs, ys, q, loc, bands, tf, fm, p, k_=k_cap,
+                            g_=generations)
 
     dt_m, am = _march_sweep(march_chunk, perm, n_proc, W, chunk,
-                            f"q-s{subdiv}", passes)
+                            f"q-s{subdiv}-g{generations}", passes)
     if aw is not None:
         cov = aw[:n_proc, 3] > 0.999
         sel = cov & (am[:n_proc, 3] > 0)
@@ -245,6 +246,7 @@ def main():
     ap.add_argument("--stage", default="a",
                     choices=["a", "b", "c", "d", "bc", "cd", "abc"])
     ap.add_argument("--fm", type=int, default=2)
+    ap.add_argument("--generations", type=int, default=3)
     ap.add_argument("--no-wood", action="store_true")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
@@ -268,13 +270,14 @@ def main():
     if "c" in args.stage:
         stage_q(8, 16, args.width, args.height, args.chunk,
                 min(args.samples, 16), args.passes, fm_factor=args.fm,
-                wood=not args.no_wood)
+                wood=not args.no_wood, generations=args.generations)
     if "d" in args.stage:
         # the headline scale (r2b9q).  Woodcock S=16 here is ~90 s of
         # bounded executions at the round-4 rates; march per-chunk.
         stage_q(11, 16, args.width, args.height, args.chunk,
                 min(args.samples, 16), args.passes, fm_factor=args.fm,
-                wood=not args.no_wood, spr=10)
+                wood=not args.no_wood, spr=10,
+                generations=args.generations)
 
 
 if __name__ == "__main__":
