@@ -461,6 +461,32 @@ def bench_row_m(subdiv: int, num_layers: int, iters: int, framing: str,
     EXECUTION with host materialization between (bounded executions at
     any scene cost — the worker's silent ~60 s ceiling cannot be hit by
     a single chunk)."""
+    q, loc, k_cap, bands, tf, stats, fm, lod, eff = _build_q_scene(
+        subdiv, num_layers, framing)
+    return _measure_row_m(q, loc, k_cap, bands, tf, stats, fm,
+                          n_cells=20 * 4 ** subdiv,
+                          tag="/march" + (f"+lod{lod}" if lod else ""),
+                          framing=framing, chunk=chunk)
+
+
+def bench_row_icm(subdiv: int, num_layers: int, iters: int, framing: str,
+                  chunk: int, spr: int, spp: int) -> dict:
+    """MARCH on the reference-format `.ic` terrain scene — the scene
+    class where Woodcock stays ~25x slower per ray than synthetic fields
+    (terrain gaps force locate misses on every null collision).  The
+    march visits each gap ONCE with the exact skip, so the converged
+    frame lands in ~16 s where the Woodcock ic row presents one noisy
+    sample every ~11 s (session measurement, docs/ROUND5.md)."""
+    q, loc, k_cap, bands, tf, stats, fm, lod, n_cells = _build_ic_scene(
+        subdiv, num_layers, framing)
+    return _measure_row_m(q, loc, k_cap, bands, tf, stats, fm,
+                          n_cells=n_cells,
+                          tag="/ic-march" + (f"+lod{lod}" if lod else ""),
+                          framing=framing, chunk=chunk)
+
+
+def _measure_row_m(q, loc, k_cap, bands, tf, stats, fm, *, n_cells, tag,
+                   framing, chunk) -> dict:
     import functools
 
     import jax
@@ -468,8 +494,6 @@ def bench_row_m(subdiv: int, num_layers: int, iters: int, framing: str,
     from icon_rt_tpu.models.qcells import bake_alpha_q
     from icon_rt_tpu.ops.march import march_rays_q
 
-    q, loc, k_cap, bands, tf, stats, fm, lod, eff = _build_q_scene(
-        subdiv, num_layers, framing)
     cam = _camera(stats, framing)
     unit_distance = 10.0 ** (np.floor(
         np.log10(stats.spherical_bounds_lo[0])) - 3)
@@ -532,8 +556,8 @@ def bench_row_m(subdiv: int, num_layers: int, iters: int, framing: str,
     dt_edit = time.perf_counter() - t0
 
     return {
-        "cells": 20 * 4 ** subdiv,
-        "framing": framing + "/march" + (f"+lod{lod}" if lod else ""),
+        "cells": n_cells,
+        "framing": framing + tag,
         "coverage": round(cov, 3),
         "mray_full": round(total / dt / 1e6, 2),
         "mray_traced": round(n_proc / dt / 1e6, 2),
@@ -807,6 +831,19 @@ def bench_row_ic(subdiv: int, num_layers: int, iters: int, framing: str,
     (data/lod.build_lod_dataset — VERDICT r4 next #4): file-loaded
     datasets have no procedural index structure, so the tier is derived
     from geometry and runs through the identical builders."""
+    q, loc, k_cap, bands, tf, stats, fm, lod, n_cells = _build_ic_scene(
+        subdiv, num_layers, framing)
+    return _measure_row_q(
+        q, loc, k_cap, bands, tf, stats, fm, n_cells=n_cells,
+        tag="/ic-quantized" + (f"+lod{lod}" if lod else ""),
+        framing=framing, iters=iters, chunk=chunk, spr=spr, spp=spp)
+
+
+def _build_ic_scene(subdiv: int, num_layers: int, framing: str):
+    """Reference-format scene build (see bench_row_ic): .ic read, auto
+    geometric LOD, percentile-windowed TF, quantized tables + locator +
+    finemap.  Returns (q, loc, k_cap, bands, tf, stats, fm, lod,
+    n_cells_fine)."""
     import gc
 
     from icon_rt_tpu.data.icfile import read_ic
@@ -822,7 +859,6 @@ def bench_row_ic(subdiv: int, num_layers: int, iters: int, framing: str,
     n_cells = ds.num_cells
     stats_f = compute_stats(ds)
     cam = _camera(stats_f, framing)
-    lod = 0
     if os.environ.get("BENCH_LOD", "auto") == "auto":
         lod = select_lod(cam.position, float(stats_f.spherical_bounds_hi[0]),
                          float(cam.fovy), HEIGHT, equivalent_subdiv(n_cells))
@@ -854,10 +890,7 @@ def bench_row_ic(subdiv: int, num_layers: int, iters: int, framing: str,
               f"running without", file=sys.stderr, flush=True)
     bands = update_band_majorants(build_radial_bands(ds_q, 64),
                                   tf.values, tf.value_range)
-    return _measure_row_q(
-        q, loc, k_cap, bands, tf, stats, fm, n_cells=n_cells,
-        tag="/ic-quantized" + (f"+lod{lod}" if lod else ""),
-        framing=framing, iters=iters, chunk=chunk, spr=spr, spp=spp)
+    return q, loc, k_cap, bands, tf, stats, fm, lod, n_cells
 
 
 # (name, icosphere subdiv, layers, timed iters, framing, tier, spp cap)
@@ -878,7 +911,10 @@ ALL_ROWS = [
     ("r2b9m_closeup", 11, 16, 2, "closeup", "m", 1),
     ("r2b4_closeup", 5, 16, 2, "closeup", "f32", 64),   # 20,480 cells
     # reference-format data (VERDICT r4 next #3): .ic terrain scene from
-    # tools/convert_icon, finemap + compact on
+    # tools/convert_icon, finemap + compact on; the march row renders the
+    # CONVERGED frame in ~16 s where the Woodcock row presents one noisy
+    # sample every ~11 s on this scene class (docs/ROUND5.md)
+    ("ic_r2b7m_closeup", 7, 16, 2, "closeup", "icm", 1),
     ("ic_r2b7_closeup", 7, 16, 2, "closeup", "ic", 32),
     # the reference's DEFAULT framing at the north-star scale: auto-LOD
     # renders the level-3 value-space mip (data/lod.py) on subdiv-8
@@ -921,7 +957,7 @@ def _run_row(name: str) -> None:
     spr = int(os.environ.get("BENCH_SPR", "10" if flat_row else "8"))
     spp = int(os.environ.get("BENCH_SAMPLES", "64"))
     fn = {"q": bench_row_q, "ic": bench_row_ic, "m": bench_row_m,
-          "f32": bench_row}[tier]
+          "icm": bench_row_icm, "f32": bench_row}[tier]
     row = fn(subdiv, layers, iters, framing, chunk, spr, min(spp, spp_cap))
     print("BENCHROW " + json.dumps(row), flush=True)
 

@@ -241,10 +241,67 @@ def stage_q(subdiv, layers, W, H, chunk, S, passes, fm_factor=2,
               flush=True)
 
 
+def stage_ic(W, H, chunk, generations, subdiv=7, layers=16):
+    """Reference-format terrain scene (.ic from tools/convert_icon):
+    march the quantized tier — the scene class where Woodcock stays
+    ~25x slower per ray than synthetic fields (bench ic_r2b7 row)."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+
+    import bench as _b   # repo root is on sys.path (module header)
+
+    from icon_rt_tpu.data.icfile import read_ic
+    from icon_rt_tpu.models.cells import compute_stats
+    from icon_rt_tpu.models.finemap import build_finemap
+    from icon_rt_tpu.models.locator import build_locator_csr, densify_csr
+    from icon_rt_tpu.models.qcells import (bake_alpha_q, quantize_cells,
+                                           quantize_dataset_values)
+    from icon_rt_tpu.models.shells import (build_radial_bands,
+                                           update_band_majorants)
+    from icon_rt_tpu.models.transfunc import make_transfunc
+    from icon_rt_tpu.ops.march import march_rays_q
+
+    t0 = time.time()
+    ds = read_ic(_b._ic_file_cached(subdiv, layers))
+    ds_q, lo, hi = quantize_dataset_values(ds)
+    stats = compute_stats(ds_q)
+    mask = np.arange(ds_q.value.shape[1])[None, :] \
+        < ds_q.num_layers[:, None]
+    vals = ds_q.value[mask]
+    vr = (float(np.percentile(vals, 2)), float(np.percentile(vals, 98)))
+    tf = make_transfunc(value_range=vr)
+    q = bake_alpha_q(quantize_cells(ds_q, value_range=(lo, hi)), tf)
+    csr, k_cap = build_locator_csr(ds_q)
+    loc = densify_csr(csr, k_cap)
+    fm = build_finemap(loc, q.test12, k_cap, factor=2)
+    bands = update_band_majorants(build_radial_bands(ds_q, 64),
+                                  tf.values, tf.value_range)
+    lp, perm, inv, n_active, n_proc = _setup_frame(stats, W, H, chunk)
+    print(f"ic scene subdiv={subdiv}: {ds.num_cells} cols, k_cap={k_cap}, "
+          f"build {time.time()-t0:.1f}s", flush=True)
+
+    @functools.partial(jax.jit, static_argnames=("k_", "g_"))
+    def _mc(xs, ys, q_, loc_, bands_, tf_, fm_, p, k_, g_):
+        return march_rays_q(q_, loc_, k_, bands_, tf_,
+                            lp._replace(accum_id=jnp.int32(p)), xs, ys,
+                            W, H, finemap=fm_, generations=g_)
+
+    def march_chunk(xs, ys, p):
+        return _mc(xs, ys, q, loc, bands, tf, fm, p, k_=k_cap,
+                   g_=generations)
+
+    dt_m, am = _march_sweep(march_chunk, perm, n_proc, W, chunk,
+                            f"ic-s{subdiv}-g{generations}", 1)
+    print(f"  ic march converged frame: {dt_m:.2f}s "
+          f"({W*H/dt_m/1e6:.2f} converged Mray/s full; the Woodcock ic "
+          f"row presents ONE noisy sample every ~11 s)", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="a",
-                    choices=["a", "b", "c", "d", "bc", "cd", "abc"])
+                    choices=["a", "b", "c", "d", "e", "bc", "cd", "abc"])
     ap.add_argument("--fm", type=int, default=2)
     ap.add_argument("--generations", type=int, default=3)
     ap.add_argument("--no-wood", action="store_true")
@@ -278,6 +335,8 @@ def main():
                 min(args.samples, 16), args.passes, fm_factor=args.fm,
                 wood=not args.no_wood, spr=10,
                 generations=args.generations)
+    if "e" in args.stage:
+        stage_ic(args.width, args.height, args.chunk, args.generations)
 
 
 if __name__ == "__main__":

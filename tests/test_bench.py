@@ -128,3 +128,13 @@ def test_bench_row_march(tiny_frame, monkeypatch, tmp_path):
     assert r["framing"] == "closeup/march"
     assert r["coverage"] > 0.3
     assert r["fps"] > 0 and r["tf_edit_s"] > 0
+
+
+def test_bench_row_ic_march(tiny_frame, monkeypatch, tmp_path):
+    """ic-march row: converged frames on the reference-format scene."""
+    monkeypatch.setattr(bench, "IC_CACHE_DIR", str(tmp_path))
+    r = bench.bench_row_icm(subdiv=2, num_layers=4, iters=1,
+                            framing="closeup", chunk=64, spr=4, spp=1)
+    assert r["framing"].startswith("closeup/ic-march")
+    assert r["coverage"] > 0.3
+    assert r["fps"] > 0
