@@ -30,23 +30,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _preflight_backend(timeout_s: int = 900) -> bool:
     """Probe backend init AND one tiny materialized EXECUTION in a
-    SUBPROCESS with a hard timeout, BEFORE any row budget starts.  Two
-    reasons (README gotchas): (a) the SIGALRM watchdog cannot interrupt
-    a C-level hang inside a wedged worker, so the probe must be
-    killable; (b) after a prior client session the worker's FIRST
-    execution can stall for many minutes (round-5 measured walls up to
-    ~11 min) — `jax.devices()` alone does not absorb that recovery, and
-    paying it inside the first row's budget starves the headline row.
-    A successful probe here means the rows start against a live,
-    recovered worker."""
+    SUBPROCESS, BEFORE any row budget starts.  After a prior client
+    session the worker's first execution can stall for many minutes
+    (round-5 measured walls up to ~15+ min) — `jax.devices()` alone
+    does not absorb that recovery, and paying it inside the first row's
+    budget starves the headline row.
+
+    CRITICAL (round-5 lesson): a probe KILLED mid-pending-execution
+    itself RE-WEDGES the worker — the kill is the wedge mechanism, not
+    the wait.  So on timeout the probe is ABANDONED, never killed: the
+    orphan completes its execution whenever the worker recovers and
+    exits naturally, leaving the worker healthy for the rows."""
     import subprocess
     try:
-        subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp, numpy as np; "
              "np.asarray(jnp.ones((8, 128)) * 2)"],
-            check=True, capture_output=True, timeout=timeout_s)
-        return True
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        proc.wait(timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False    # abandoned on purpose — see docstring
     except Exception:
         return False
 
@@ -986,10 +991,27 @@ def main():
             failures.append(f"{name}: skipped (global budget exhausted)")
             continue
         try:
-            proc = subprocess.run(
+            # Popen + graceful timeout instead of subprocess.run: run's
+            # timeout SIGKILLs the child, and a client killed with a
+            # pending device execution RE-WEDGES the worker (round-5
+            # lesson — the kill is the wedge mechanism).  On timeout:
+            # SIGTERM (lets the jax client tear down), short grace, then
+            # ABANDON the orphan rather than SIGKILL it — it completes
+            # and exits naturally when the worker recovers.
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--row", name],
-                stdout=subprocess.PIPE, timeout=timeout)
-            row = _parse_row_output(proc.stdout)
+                stdout=subprocess.PIPE)
+            try:
+                out, _ = proc.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                proc.terminate()
+                try:
+                    out, _ = proc.communicate(timeout=60)
+                except subprocess.TimeoutExpired:
+                    out = b""   # abandoned on purpose; do not kill
+                raise RuntimeError(f"timed out after {timeout:.0f}s "
+                                   "(terminated, not killed)")
+            row = _parse_row_output(out)
             if row is None:
                 raise RuntimeError(f"rc={proc.returncode}, no BENCHROW line")
             RESULTS[name] = row
