@@ -138,3 +138,13 @@ def test_bench_row_ic_march(tiny_frame, monkeypatch, tmp_path):
     assert r["framing"].startswith("closeup/ic-march")
     assert r["coverage"] > 0.3
     assert r["fps"] > 0
+
+
+def test_autosize_amortized_model():
+    """The spp guard must keep measured row configurations (r2b9q's
+    spp-64 execution is ~28 s real) while catching the 10-25x per-ray
+    anomalies of unexpectedly slow scenes (round-4 e2e crash class)."""
+    from icon_rt_tpu.utils.autosize import auto_spp
+    assert auto_spp(1.77, cap=64) == 64     # r2b9q-class probe
+    assert auto_spp(11.0, cap=32) <= 8      # terrain-class probe
+    assert auto_spp(60.0, cap=64) <= 2      # pathological scene
