@@ -936,35 +936,64 @@ ALL_ROWS = [
 ]
 HEADLINE = os.environ.get("BENCH_HEADLINE", "r2b9q_closeup")
 
+# HBM-compatible row GROUPS, each one child process: every fresh client
+# connection can pay a multi-minute worker re-init in this environment
+# (round-5 session log: inter-row stalls up to 15+ min), so rows that fit
+# device memory together share one process.  The r2b9-scale rows stay
+# solo (round 3: the r2b9q build OOMs with earlier rows' device residue).
+ROW_GROUPS = [
+    ["r2b9q_closeup"],
+    ["r2b9m_closeup"],
+    ["ic_r2b7m_closeup", "ic_r2b7_closeup", "ic_r2b7_viewall"],
+    ["r2b4_closeup", "r2b4_viewall", "r2b7_closeup", "r2b8_closeup"],
+    ["r2b8q_closeup", "r2b8m_closeup"],
+    ["r2b9q_viewall"],
+]
 
-def _parse_row_output(stdout_bytes: bytes):
-    """Extract the child row's `BENCHROW {json}` line (None if absent)."""
+
+def _parse_row_output(stdout_bytes: bytes) -> dict:
+    """Collect the child's `BENCHROW <name> {json}` lines (legacy
+    nameless lines parse with name None)."""
+    out = {}
     for ln in stdout_bytes.decode("utf-8", "replace").splitlines():
-        if ln.startswith("BENCHROW "):
-            return json.loads(ln[len("BENCHROW "):])
-    return None
+        if not ln.startswith("BENCHROW "):
+            continue
+        rest = ln[len("BENCHROW "):]
+        if rest.lstrip().startswith("{"):
+            out[None] = json.loads(rest)
+        else:
+            name, payload = rest.split(" ", 1)
+            out[name] = json.loads(payload)
+    return out
 
 
-def _run_row(name: str) -> None:
-    """Child mode (`bench.py --row NAME`): run ONE row in this process and
-    print its dict as a `BENCHROW {json}` stdout line for the parent."""
-    spec = {r[0]: r for r in ALL_ROWS}[name]
-    _, subdiv, layers, iters, framing, tier, spp_cap = spec
-    chunk = int(os.environ.get("BENCH_CHUNK", "8192"))
-    # spr 10 only where the FLAT service engages (giant quantized rows;
-    # ops/fast.FLAT_AUTO_MIN_CELLS): the round-4 sweep measured 10 best
-    # there, while the cond-ladder rows regressed ~12-15% at 10 vs 8
-    from icon_rt_tpu.ops.fast import FLAT_AUTO_MIN_CELLS
-    eff_cells = 20 * 4 ** (subdiv - (_auto_lod(subdiv, framing)
-                                     if os.environ.get("BENCH_LOD", "auto")
-                                     == "auto" else int(os.environ["BENCH_LOD"])))
-    flat_row = tier == "q" and eff_cells >= FLAT_AUTO_MIN_CELLS
-    spr = int(os.environ.get("BENCH_SPR", "10" if flat_row else "8"))
-    spp = int(os.environ.get("BENCH_SAMPLES", "64"))
-    fn = {"q": bench_row_q, "ic": bench_row_ic, "m": bench_row_m,
-          "icm": bench_row_icm, "f32": bench_row}[tier]
-    row = fn(subdiv, layers, iters, framing, chunk, spr, min(spp, spp_cap))
-    print("BENCHROW " + json.dumps(row), flush=True)
+def _run_row(names_csv: str) -> None:
+    """Child mode (`bench.py --row NAME[,NAME...]`): run the listed rows
+    sequentially in this process, printing `BENCHROW <name> {json}` per
+    completed row (the parent captures whatever completed even if a
+    later row in the group stalls)."""
+    import gc
+
+    for name in names_csv.split(","):
+        spec = {r[0]: r for r in ALL_ROWS}[name]
+        _, subdiv, layers, iters, framing, tier, spp_cap = spec
+        chunk = int(os.environ.get("BENCH_CHUNK", "8192"))
+        # spr 10 only where the FLAT service engages (giant quantized
+        # rows; ops/fast.FLAT_AUTO_MIN_CELLS): the round-4 sweep measured
+        # 10 best there, while the cond-ladder rows regressed ~12-15%
+        from icon_rt_tpu.ops.fast import FLAT_AUTO_MIN_CELLS
+        eff_cells = 20 * 4 ** (subdiv - (_auto_lod(subdiv, framing)
+                               if os.environ.get("BENCH_LOD", "auto")
+                               == "auto" else int(os.environ["BENCH_LOD"])))
+        flat_row = tier == "q" and eff_cells >= FLAT_AUTO_MIN_CELLS
+        spr = int(os.environ.get("BENCH_SPR", "10" if flat_row else "8"))
+        spp = int(os.environ.get("BENCH_SAMPLES", "64"))
+        fn = {"q": bench_row_q, "ic": bench_row_ic, "m": bench_row_m,
+              "icm": bench_row_icm, "f32": bench_row}[tier]
+        row = fn(subdiv, layers, iters, framing, chunk, spr,
+                 min(spp, spp_cap))
+        print(f"BENCHROW {name} " + json.dumps(row), flush=True)
+        gc.collect()    # drop the row's device buffers before the next
 
 
 def main():
@@ -981,15 +1010,27 @@ def main():
     deadline = time.time() + budget
     row_cap = int(os.environ.get("BENCH_ROW_TIMEOUT", "2700"))
     only = os.environ.get("BENCH_ROWS")  # comma-separated row names
-    rows = [r for r in ALL_ROWS if only is None or r[0] in only.split(",")]
+    wanted = set(only.split(",")) if only else None
+    known = {r[0] for r in ALL_ROWS}
+    groups = [[n for n in g if (wanted is None or n in wanted)
+               and n in known] for g in ROW_GROUPS]
+    grouped = {n for g in groups for n in g}
+    # rows not in any group (newly added) each get their own child
+    groups += [[r[0]] for r in ALL_ROWS
+               if r[0] not in grouped and (wanted is None
+                                           or r[0] in wanted)]
+    groups = [g for g in groups if g]
 
     failures = []
-    for spec in rows:
-        name = spec[0]
-        timeout = min(row_cap, deadline - time.time())
+    for names in groups:
+        timeout = min(row_cap * max(1, (len(names) + 1) // 2),
+                      deadline - time.time())
         if timeout < 60:
-            failures.append(f"{name}: skipped (global budget exhausted)")
+            failures.extend(f"{n}: skipped (global budget exhausted)"
+                            for n in names)
             continue
+        got = {}
+        err = ""
         try:
             # Popen + graceful timeout instead of subprocess.run: run's
             # timeout SIGKILLs the child, and a client killed with a
@@ -999,7 +1040,8 @@ def main():
             # ABANDON the orphan rather than SIGKILL it — it completes
             # and exits naturally when the worker recovers.
             proc = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "--row", name],
+                [sys.executable, os.path.abspath(__file__), "--row",
+                 ",".join(names)],
                 stdout=subprocess.PIPE)
             try:
                 out, _ = proc.communicate(timeout=timeout)
@@ -1009,17 +1051,21 @@ def main():
                     out, _ = proc.communicate(timeout=60)
                 except subprocess.TimeoutExpired:
                     out = b""   # abandoned on purpose; do not kill
-                raise RuntimeError(f"timed out after {timeout:.0f}s "
-                                   "(terminated, not killed)")
-            row = _parse_row_output(out)
-            if row is None:
-                raise RuntimeError(f"rc={proc.returncode}, no BENCHROW line")
-            RESULTS[name] = row
-            print(f"# {name}: {row}", file=sys.stderr, flush=True)
-        except Exception as e:  # a failed row must not eat the others
-            msg = str(e).splitlines()[0][:200] if str(e) else ""
-            failures.append(f"{name}: {type(e).__name__}: {msg}")
-            print(f"# {name} FAILED: {e}", file=sys.stderr, flush=True)
+                err = (f"timed out after {timeout:.0f}s "
+                       "(terminated, not killed)")
+            got = _parse_row_output(out)
+        except Exception as e:
+            err = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        if len(got) == 1 and None in got and len(names) == 1:
+            got = {names[0]: got[None]}   # legacy nameless line
+        for n in names:
+            if n in got:
+                RESULTS[n] = got[n]
+                print(f"# {n}: {got[n]}", file=sys.stderr, flush=True)
+            else:
+                failures.append(f"{n}: {err or 'no BENCHROW line'}")
+                print(f"# {n} FAILED: {err or 'no BENCHROW line'}",
+                      file=sys.stderr, flush=True)
 
     _emit(note="; ".join(failures) if failures else "")
 

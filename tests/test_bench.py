@@ -66,8 +66,17 @@ def test_run_row_prints_benchrow(tiny_frame, monkeypatch, capsys):
                         lambda *a, **k: fake)
     bench._run_row("r2b4_closeup")
     out = capsys.readouterr().out
-    assert bench._parse_row_output(out.encode()) == fake
-    assert bench._parse_row_output(b"no row here\n") is None
+    assert bench._parse_row_output(out.encode()) == {"r2b4_closeup": fake}
+    assert bench._parse_row_output(b"no row here\n") == {}
+    # multi-row groups: one named line per completed row
+    monkeypatch.setattr(bench, "bench_row_q", lambda *a, **k: fake)
+    bench._run_row("r2b4_closeup,r2b8q_closeup")
+    out = capsys.readouterr().out
+    assert bench._parse_row_output(out.encode()) == {
+        "r2b4_closeup": fake, "r2b8q_closeup": fake}
+    # legacy nameless line still parses
+    assert bench._parse_row_output(
+        b'BENCHROW {"cells": 1}\n') == {None: {"cells": 1}}
 
 
 def test_emit_formats_all_rows(capsys):
