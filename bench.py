@@ -263,13 +263,16 @@ def bench_row(subdiv: int, num_layers: int, iters: int, framing: str,
     # so a single device execution stays under the worker's silent ~60 s
     # ceiling even on unexpectedly slow scenes.  The samples=1 executable
     # is the same one the fps1 probe uses later — no extra compile.
-    from icon_rt_tpu.utils.autosize import auto_spp
+    # SYNTH_AMORT: this row family's batching amortization is measured
+    # (~0.33x); unknown scene families must use the linear default.
+    from icon_rt_tpu.utils.autosize import SYNTH_AMORT, auto_spp
     accum, fb = step1(8998, accum, fb)
     np.asarray(fb)
     t0p = time.perf_counter()
     accum, fb = step1(8999, accum, fb)
     np.asarray(fb)
-    spp = min(spp, auto_spp(time.perf_counter() - t0p))
+    spp = min(spp, auto_spp(time.perf_counter() - t0p,
+                            amort=SYNTH_AMORT))
 
     def step(s, accum, fb):
         # spp progressive samples per call via in-lane batching — the
@@ -363,11 +366,13 @@ def bench_row_q(subdiv: int, num_layers: int, iters: int, framing: str,
     on device; only the locator table is uploaded (npz-cached binning)."""
     q, loc, k_cap, bands, tf, stats, fm, lod, eff = _build_q_scene(
         subdiv, num_layers, framing)
+    from icon_rt_tpu.utils.autosize import SYNTH_AMORT
     row = _measure_row_q(
         q, loc, k_cap, bands, tf, stats, fm,
         n_cells=20 * 4 ** subdiv,
         tag="/quantized" + (f"+lod{lod}" if lod else ""),
-        framing=framing, iters=iters, chunk=chunk, spr=spr, spp=spp)
+        framing=framing, iters=iters, chunk=chunk, spr=spr, spp=spp,
+        amort=SYNTH_AMORT)
     if eff == 8 and lod == 0 and os.environ.get("BENCH_RMSE", "1") == "1":
         # quantized-tier error budget in the artifact (VERDICT r4 next
         # #8): deterministic march-vs-march RMSE at the largest scale
@@ -574,7 +579,7 @@ def _measure_row_m(q, loc, k_cap, bands, tf, stats, fm, *, n_cells, tag,
 
 
 def _measure_row_q(q, loc, k_cap, bands, tf, stats, fm, *, n_cells,
-                   tag, framing, iters, chunk, spr, spp):
+                   tag, framing, iters, chunk, spr, spp, amort=None):
     """Quantized-tier measurement core, shared by the synthetic rows
     (bench_row_q) and the reference-format `.ic` rows (bench_row_ic):
     throughput windows, fps1, TF-edit/stroke latency, preview latency."""
@@ -608,14 +613,19 @@ def _measure_row_q(q, loc, k_cap, bands, tf, stats, fm, *, n_cells,
                                    finemap=fm, service_cap=scap)
 
     # auto-size guard (see bench_row): cap spp from a warm samples=1
-    # probe so one execution stays under the worker ceiling
-    from icon_rt_tpu.utils.autosize import auto_spp
+    # probe so one execution stays under the worker ceiling.  amort:
+    # batching-amortization factor — SYNTH_AMORT only for the measured
+    # synthetic family; the `.ic` terrain rows use the linear default
+    # (their slow uniform rays barely amortize: the round-5 grouped run
+    # CRASHED the worker when 1/3 was applied there, spp 8 x 11 s)
+    from icon_rt_tpu.utils.autosize import AMORT, auto_spp
     accum, fb = step1(8998, accum, fb)
     np.asarray(fb)
     t0p = time.perf_counter()
     accum, fb = step1(8999, accum, fb)
     np.asarray(fb)
-    spp = min(spp, auto_spp(time.perf_counter() - t0p))
+    spp = min(spp, auto_spp(time.perf_counter() - t0p,
+                            amort=AMORT if amort is None else amort))
 
     def step(s, accum, fb):
         return render_frame_fast_q(q, loc, k_cap, bands, tf,

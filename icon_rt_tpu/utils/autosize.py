@@ -24,14 +24,18 @@ SPP_TIERS = (1, 2, 4, 8, 16, 32, 64)
 #: the model estimate: r2b9q's spp-64 execution runs ~28 s real)
 DEFAULT_BUDGET_S = 50.0
 
-#: in-lane batching amortization: a samples=S execution costs ~0.33x of
-#: S sequential samples=1 frames (measured stable across the r2b4 /
-#: r2b8q / r2b9q bench rows).  A pure-linear model (factor 1.0) halved
-#: the graded headline by clamping its spp 64 -> 8 in the round-5 dress
-#: rehearsal; this guard exists to catch the 10-25x per-ray anomalies of
-#: unexpectedly slow scenes (the round-4 e2e crash class), not to
-#: second-guess measured row configurations.
-AMORT = 1.0 / 3.0
+#: in-lane batching amortization on the SYNTHETIC bench scenes: a
+#: samples=S execution costs ~0.33x of S sequential samples=1 frames
+#: (measured stable across the r2b4 / r2b8q / r2b9q rows).  A
+#: pure-linear model (factor 1.0) halved the graded headline by clamping
+#: its spp 64 -> 8 in the round-5 dress rehearsal — but amortization is
+#: SCENE-DEPENDENT: the terrain `.ic` scene's slow rays batch with
+#: amortization near 1.0, and applying 1/3 there picked spp 8 and
+#: CRASHED the worker (8 x 11 s ~ 88 s execution).  So: the DEFAULT
+#: model is linear (safe for unknown scenes); pass amort=SYNTH_AMORT
+#: only for the scene family it was measured on.
+SYNTH_AMORT = 1.0 / 3.0
+AMORT = 1.0
 
 
 def auto_spp(probe_s: float, budget_s: float = DEFAULT_BUDGET_S,
@@ -39,9 +43,10 @@ def auto_spp(probe_s: float, budget_s: float = DEFAULT_BUDGET_S,
              amort: float = AMORT) -> int:
     """Largest power-of-two spp whose estimated single-execution wall
     stays under budget_s, from a measured probe of a probe_spp-sample
-    execution: estimated wall = spp * per_sample * amort (the in-lane
-    batching amortization above; probes at probe_spp > 4 are already
-    amortized — pass amort=1 for those)."""
+    execution: estimated wall = spp * per_sample * amort.  Pass
+    amort=SYNTH_AMORT only for the measured synthetic scene family;
+    the linear default is the safe model for unknown scenes (see the
+    constants above)."""
     per = max(probe_s / max(probe_spp, 1), 1e-9)
     a = amort if probe_spp <= 4 else 1.0
     spp = 1

@@ -151,9 +151,11 @@ def test_bench_row_ic_march(tiny_frame, monkeypatch, tmp_path):
 
 def test_autosize_amortized_model():
     """The spp guard must keep measured row configurations (r2b9q's
-    spp-64 execution is ~28 s real) while catching the 10-25x per-ray
-    anomalies of unexpectedly slow scenes (round-4 e2e crash class)."""
-    from icon_rt_tpu.utils.autosize import auto_spp
-    assert auto_spp(1.77, cap=64) == 64     # r2b9q-class probe
-    assert auto_spp(11.0, cap=32) <= 8      # terrain-class probe
-    assert auto_spp(60.0, cap=64) <= 2      # pathological scene
+    spp-64 execution is ~28 s real, SYNTH_AMORT family) while the
+    LINEAR default stays safe for unknown scene families — the round-5
+    grouped run crashed the worker when the synthetic amortization was
+    applied to the terrain `.ic` row (spp 8 x 11 s ~ 88 s execution)."""
+    from icon_rt_tpu.utils.autosize import SYNTH_AMORT, auto_spp
+    assert auto_spp(1.77, cap=64, amort=SYNTH_AMORT) == 64  # r2b9q probe
+    assert auto_spp(11.0, cap=32) <= 4      # terrain probe, linear model
+    assert auto_spp(60.0, cap=64) <= 1      # pathological scene
