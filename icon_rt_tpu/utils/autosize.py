@@ -19,10 +19,11 @@ import time
 #: own compile)
 SPP_TIERS = (1, 2, 4, 8, 16, 32, 64)
 
-#: default per-execution wall budget, leaving some margin to the ~60 s
-#: worker ceiling (the batched executions this sizes measured FAR under
-#: the model estimate: r2b9q's spp-64 execution runs ~28 s real)
-DEFAULT_BUDGET_S = 50.0
+#: default per-execution wall budget, leaving margin to the ~60 s worker
+#: ceiling: at 40 s the synthetic family keeps its measured spp 64
+#: (est 64 * 1.77 / 3 = 37.8 s; ~28 s real) while the linear model puts
+#: the terrain `.ic` row at its VALIDATED-safe spp 2 (probe ~11 s)
+DEFAULT_BUDGET_S = 40.0
 
 #: in-lane batching amortization on the SYNTHETIC bench scenes: a
 #: samples=S execution costs ~0.33x of S sequential samples=1 frames
