@@ -159,3 +159,14 @@ def test_autosize_amortized_model():
     assert auto_spp(1.77, cap=64, amort=SYNTH_AMORT) == 64  # r2b9q probe
     assert auto_spp(11.0, cap=32) <= 4      # terrain probe, linear model
     assert auto_spp(60.0, cap=64) <= 1      # pathological scene
+
+
+def test_row_groups_consistent():
+    """Group registry sanity: no stale names, headline first, and every
+    ALL_ROWS entry reachable (ungrouped rows are auto-appended as solo
+    children by main())."""
+    names = {r[0] for r in bench.ALL_ROWS}
+    grouped = [n for g in bench.ROW_GROUPS for n in g]
+    assert set(grouped) <= names
+    assert len(grouped) == len(set(grouped))   # no row in two groups
+    assert bench.ROW_GROUPS[0] == ["r2b9q_closeup"]   # headline first
